@@ -1,0 +1,180 @@
+"""Pallas TPU kernel: segmented mixed-precision block-scaled GEMM.
+
+Computes ``Y[M, N] = sum_seg dequant(A_seg) @ dequant(W_seg)^T`` where the
+K axis is split into three contiguous segments (MXFP4 | MXFP6 | MXFP8, each
+a multiple of 128 channels, each with UE8M0 scales per 32 elements).
+
+This replaces the reference's chain of three CUTLASS block-scaled GEMMs
+with beta-accumulation (mgemm/src/gemm.cu:26-78): on TPU all three segments
+accumulate into ONE f32 register tile inside a single kernel, so the output
+is written once and the packed operands stream HBM->VMEM exactly once.
+
+TPU mapping:
+  * MX decode (uint8 code -> bf16 value) is VPU bit arithmetic; every MX
+    grid value times a power-of-two scale is exactly representable in bf16,
+    so the MXU consumes *exact* operands and accumulates in f32 — the
+    arithmetic matches the reference's tensor-core semantics.
+  * Weight fp4 is split-plane packed (2 codes/byte, mx/numerics.py): the
+    low-nibble plane covers logical channels [0, k4/2), the high-nibble
+    plane [k4/2, k4) — both planes and their scale groups are contiguous
+    lane slices, so decode is shuffle-free.
+  * Grid is (M/bm, N/bn); each step loads full-K operand strips and the
+    Mosaic pipeline double-buffers the HBM streams across grid steps.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..mx import numerics as nx
+from ..mx.formats import BLOCK_SIZE, FP4, FP6, FP8
+from ..mx.mxtensor import MixedTensor
+
+_BF16 = jnp.bfloat16
+_F32 = jnp.float32
+
+
+def _expand_scales(sf, times: int):
+    """(bm, nb) u8 UE8M0 -> (bm, nb*times) f32 scale factors, TILED.
+
+    Segments are stored block-interleaved (mx/layout.py): physical column c
+    belongs to scale block c % nb, so tiling the scale row (pltpu.repeat is
+    a native Mosaic op) IS the correct per-element expansion.
+    """
+    e = sf.astype(jnp.int32) - 127
+    s = nx.exp2i(e)
+    return pltpu.repeat(s, times, axis=1)
+
+
+def _decode_scaled(codes, sf, fmt, times: int):
+    """codes (bm, nb*times) u8 + scales (bm, nb) u8 -> bf16 (bm, nb*times)."""
+    vals = nx.decode(codes, fmt)
+    return (vals * _expand_scales(sf, times)).astype(_BF16)
+
+
+def _mixed_matmul_kernel(*refs, k4: int, k6: int, k8: int, w_fp4_only: bool,
+                         out_dtype):
+    """Kernel body.  refs = [a4, sf_a4, w4, sf_w4, a6, sf_a6, w6, sf_w6,
+    a8, sf_a8, w8, sf_w8 (present segments only)..., out]."""
+    it = iter(refs[:-1])
+    out_ref = refs[-1]
+    acc = None
+
+    def accumulate(a_bf16, w_bf16, acc):
+        part = jax.lax.dot_general(
+            a_bf16, w_bf16,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=_F32,
+        )
+        return part if acc is None else acc + part
+
+    if k4:
+        a4, sfa4, w4, sfw4 = next(it), next(it), next(it), next(it)
+        h = k4 // 2
+        a = _decode_scaled(a4[:], sfa4[:], FP4, BLOCK_SIZE)
+        # split-plane packed weights: both nibble planes cover all nb blocks
+        # (plane col j -> block j % nb), so both use the 16x-tiled scale row.
+        # Shift in u32 — Mosaic has no vector shifts on 8-bit ints; decode()
+        # masks to the low 4 bits itself.
+        wp = w4[:].astype(jnp.uint32)
+        w_lo = _decode_scaled(wp, sfw4[:], FP4, BLOCK_SIZE // 2)
+        w_hi = _decode_scaled(wp >> 4, sfw4[:], FP4, BLOCK_SIZE // 2)
+        acc = accumulate(a[:, :h], w_lo, acc)
+        acc = accumulate(a[:, h:], w_hi, acc)
+
+    for kseg, a_fmt in ((k6, FP6), (k8, FP8)):
+        if not kseg:
+            continue
+        aref, sfa, wref, sfw = next(it), next(it), next(it), next(it)
+        w_fmt = FP4 if w_fp4_only else a_fmt
+        a = _decode_scaled(aref[:], sfa[:], a_fmt, BLOCK_SIZE)
+        w = _decode_scaled(wref[:], sfw[:], w_fmt, BLOCK_SIZE)
+        acc = accumulate(a, w, acc)
+
+    out_ref[:] = acc.astype(out_dtype)
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _pad_rows(x, rows: int):
+    if x.shape[0] == rows:
+        return x
+    return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
+
+
+def mixed_matmul(a: MixedTensor, w: MixedTensor, *,
+                 out_dtype=_BF16,
+                 bm: Optional[int] = None,
+                 bn: Optional[int] = None,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Y = dq(A) @ dq(W)^T via one fused Pallas kernel.
+
+    A: activations (M, K), fp4 segment unpacked.
+    W: weights (N, K), fp4 segment split-plane packed, optionally fp4-only.
+    Returns (M, N) in out_dtype.
+    """
+    assert a.segments() == w.segments(), (a.segments(), w.segments())
+    assert not a.fp4_packed and (w.fp4_packed or w.k4 == 0)
+    k4, k6, k8 = a.segments()
+    m, n = a.rows, w.rows
+    assert n % 128 == 0, f"N={n} must be a multiple of 128"
+
+    if bm is None:
+        bm = min(256, _round_up(m, 32))
+    if bn is None:
+        bn = 256 if n % 256 == 0 else 128
+    mp = _round_up(m, bm)
+
+    grid = (mp // bm, n // bn)
+
+    def a_spec(cols):
+        return pl.BlockSpec((bm, cols), lambda i, j: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    def w_spec(cols):
+        return pl.BlockSpec((bn, cols), lambda i, j: (j, 0),
+                            memory_space=pltpu.VMEM)
+
+    operands, in_specs = [], []
+
+    def add(seg_a, seg_sfa, seg_w, seg_sfw):
+        operands.extend([seg_a, seg_sfa, seg_w, seg_sfw])
+        in_specs.extend([
+            a_spec(seg_a.shape[1]), a_spec(seg_sfa.shape[1]),
+            w_spec(seg_w.shape[1]), w_spec(seg_sfw.shape[1]),
+        ])
+
+    if k4:
+        add(_pad_rows(a.fp4, mp), _pad_rows(a.sf4, mp), w.fp4, w.sf4)
+    if k6:
+        add(_pad_rows(a.fp6, mp), _pad_rows(a.sf6, mp), w.fp6, w.sf6)
+    if k8:
+        add(_pad_rows(a.fp8, mp), _pad_rows(a.sf8, mp), w.fp8, w.sf8)
+    assert operands, "all segments empty"
+
+    kernel = functools.partial(
+        _mixed_matmul_kernel, k4=k4, k6=k6, k8=k8,
+        w_fp4_only=w.fp4_only, out_dtype=out_dtype)
+
+    flops = 2 * mp * n * (k4 + k6 + k8)
+    bytes_accessed = sum(int(o.size) for o in operands) + mp * n * 2
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+    return out[:m] if mp != m else out

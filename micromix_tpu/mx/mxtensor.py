@@ -3,10 +3,15 @@
 ``MixedTensor`` is the on-device representation of one channel-reordered,
 segment-quantized matrix (activations or weights):
 
-  * fp4 segment : packed uint8, 2 codes/byte (pair-interleaved, low nibble
-                  first) + UE8M0 scale byte per 32 logical elements
+  * fp4 segment : uint8 codes. Weights are stored split-plane packed
+                  (2 codes/byte, see mx/numerics.py pack_fp4) to halve the
+                  HBM-bound weight stream; activations are stored unpacked
+                  (1 code/byte) because they are transient and unpacked
+                  codes keep the on-the-fly quantize kernel branch-free.
   * fp6 segment : uint8 container codes (1 byte/element) + scales
   * fp8 segment : uint8 e4m3fn bit patterns + scales
+
+Each segment carries one UE8M0 scale byte per 32 logical elements.
 
 Design note (TPU-first, diverges from the reference deliberately): the
 reference packs fp6 as 4 values -> 3 bytes (reorder.cu:54-63) which is
@@ -22,26 +27,30 @@ mixedgemm (bindings.cpp:104-151); K-segment sizes are multiples of 128
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
+from . import layout as lay
 from . import numerics as nx
-from .formats import BLOCK_SIZE, FP4, FP6, FP8
+from .formats import FP4, FP6, FP8
 
 
-@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class MixedTensor:
     """One 2-D matrix (rows, K) quantized into up to three K-segments."""
 
-    fp4: jnp.ndarray  # (rows, k4 // 2) packed uint8
+    fp4: jnp.ndarray  # (rows, k4) u8 codes, or (rows, k4 // 2) if fp4_packed
     fp6: jnp.ndarray  # (rows, k6) uint8 codes
     fp8: jnp.ndarray  # (rows, k8) uint8 codes
     sf4: jnp.ndarray  # (rows, k4 // 32) uint8 UE8M0
     sf6: jnp.ndarray  # (rows, k6 // 32) uint8
     sf8: jnp.ndarray  # (rows, k8 // 32) uint8
+    fp4_packed: bool = dataclasses.field(default=False, metadata=dict(static=True))
+    # True -> all three segments use the MXFP4 grid (weight path,
+    # reorder_quantize_mxfp4_kernel reorder.cu:271-432).
+    fp4_only: bool = dataclasses.field(default=False, metadata=dict(static=True))
 
     @property
     def rows(self) -> int:
@@ -49,7 +58,7 @@ class MixedTensor:
 
     @property
     def k4(self) -> int:
-        return self.fp4.shape[-1] * 2
+        return self.fp4.shape[-1] * (2 if self.fp4_packed else 1)
 
     @property
     def k6(self) -> int:
@@ -67,17 +76,26 @@ class MixedTensor:
         return (self.k4, self.k6, self.k8)
 
 
+jax.tree_util.register_dataclass(
+    MixedTensor,
+    data_fields=["fp4", "fp6", "fp8", "sf4", "sf6", "sf8"],
+    meta_fields=["fp4_packed", "fp4_only"],
+)
+
+
 def _empty(rows: int, cols: int) -> jnp.ndarray:
     return jnp.zeros((rows, cols), jnp.uint8)
 
 
 def quantize_mixed(x: jnp.ndarray, k4: int, k6: int, k8: int,
-                   weight_fp4_only: bool = False) -> MixedTensor:
+                   weight_fp4_only: bool = False,
+                   pack_fp4: bool = False) -> MixedTensor:
     """Quantize an already-permuted (rows, K) matrix into a MixedTensor.
 
     weight_fp4_only=True reproduces reorder_quantize_mxfp4_kernel
     (reorder.cu:271-432): all three segments use the MXFP4 grid but keep
     separate buffers/scales so segment widths match the activation's.
+    pack_fp4=True stores the fp4 segment split-plane packed (weights).
     """
     assert x.ndim == 2 and x.shape[-1] == k4 + k6 + k8, (x.shape, k4, k6, k8)
     rows = x.shape[0]
@@ -86,46 +104,47 @@ def quantize_mixed(x: jnp.ndarray, k4: int, k6: int, k8: int,
     def seg(lo, hi, fmt):
         if hi == lo:
             return _empty(rows, 0), _empty(rows, 0)
-        return nx.quantize_blocks(x[:, lo:hi], fmt)
+        codes, scales = nx.quantize_blocks(x[:, lo:hi], fmt)
+        return lay.interleave(codes), scales
 
-    f4 = FP4
-    c4, s4 = seg(0, k4, f4)
+    c4, s4 = seg(0, k4, FP4)
     c6, s6 = seg(k4, k4 + k6, FP4 if weight_fp4_only else FP6)
     c8, s8 = seg(k4 + k6, k4 + k6 + k8, FP4 if weight_fp4_only else FP8)
-    if weight_fp4_only:
-        # fp4-grid codes stored unpacked in the fp6/fp8 slots' width... no:
-        # keep layout identical to the mixed case so the matmul kernel sees
-        # one layout. fp4-grid codes fit any container; widths stay k6/k8.
-        pass
+    if pack_fp4 and k4:
+        c4 = nx.pack_fp4(c4)
     return MixedTensor(
-        fp4=nx.pack_fp4(c4) if k4 else _empty(rows, 0),
-        fp6=c6, fp8=c8, sf4=s4, sf6=s6, sf8=s8,
+        fp4=c4, fp6=c6, fp8=c8, sf4=s4, sf6=s6, sf8=s8,
+        fp4_packed=bool(pack_fp4 and k4), fp4_only=weight_fp4_only,
     )
 
 
-def dequantize_mixed(t: MixedTensor, weight_fp4_only: bool = False,
-                     dtype=jnp.float32) -> jnp.ndarray:
+def dequantize_mixed(t: MixedTensor, dtype=jnp.float32) -> jnp.ndarray:
     """MixedTensor -> dense (rows, K) in ``dtype`` (reference / test path)."""
     parts = []
     if t.k4:
-        codes = nx.unpack_fp4(t.fp4)
-        parts.append(nx.dequantize_blocks(codes, t.sf4, FP4))
+        codes = nx.unpack_fp4(t.fp4) if t.fp4_packed else t.fp4
+        parts.append(nx.dequantize_blocks(lay.deinterleave(codes), t.sf4, FP4))
     if t.k6:
-        parts.append(nx.dequantize_blocks(t.fp6, t.sf6, FP4 if weight_fp4_only else FP6))
+        parts.append(nx.dequantize_blocks(lay.deinterleave(t.fp6), t.sf6,
+                                          FP4 if t.fp4_only else FP6))
     if t.k8:
-        parts.append(nx.dequantize_blocks(t.fp8, t.sf8, FP4 if weight_fp4_only else FP8))
+        parts.append(nx.dequantize_blocks(lay.deinterleave(t.fp8), t.sf8,
+                                          FP4 if t.fp4_only else FP8))
     if not parts:
         return jnp.zeros((t.rows, 0), dtype)
     return jnp.concatenate(parts, axis=-1).astype(dtype)
 
 
-def mixed_matmul_xla(a: MixedTensor, w: MixedTensor, *, w_fp4_only: bool = True,
+def mixed_matmul_xla(a: MixedTensor, w: MixedTensor,
                      out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """Pure-XLA reference of the segmented mixed GEMM: Y = dq(A) @ dq(W)^T.
 
     The Pallas kernel (kernels/mixed_matmul.py) is tested against this.
+    Operands are dequantized to bf16 (exact: every MX grid value times a
+    power-of-two scale is bf16-representable) and contracted in f32, the
+    same arithmetic the MXU performs.
     """
     assert a.segments() == w.segments(), (a.segments(), w.segments())
-    ad = dequantize_mixed(a)
-    wd = dequantize_mixed(w, weight_fp4_only=w_fp4_only)
+    ad = dequantize_mixed(a, dtype=jnp.bfloat16)
+    wd = dequantize_mixed(w, dtype=jnp.bfloat16)
     return jnp.dot(ad, wd.T, preferred_element_type=jnp.float32).astype(out_dtype)

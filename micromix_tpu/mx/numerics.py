@@ -113,7 +113,8 @@ def decode(codes, fmt: FormatInfo):
     # Normal: (1 + m/2^mb) * 2^(e - bias)  ==  f32 with exp field e+emin-1+127.
     normal_bits = (((e + fmt.emin - 1 + 127).astype(_U32)) << 23) | (m << (23 - mb))
     normal = _bitcast_u32_to_f32(normal_bits)
-    sub = m.astype(_F32) * _F32(fmt.min_subnormal)
+    # via int32: Mosaic has no uint32 -> float32 cast
+    sub = m.astype(_I32).astype(_F32) * _F32(fmt.min_subnormal)
     val = jnp.where(e == 0, sub, normal)
     return jnp.where(sign == 1, -val, val)
 
@@ -152,23 +153,30 @@ def fakequant_blocks(x, fmt: FormatInfo):
 
 
 # ---------------------------------------------------------------------------
-# fp4 nibble packing (2 codes / byte, low nibble = even index; matches the
-# reference PackFp4 {low, high} order, reorder.cu:30-33).
+# fp4 nibble packing.
+#
+# Device layout is SPLIT-PLANE: byte j holds logical channel j in the low
+# nibble and logical channel j + K/2 in the high nibble.  This is a
+# deliberate TPU-first divergence from the reference's pair-interleaved
+# PackFp4 {low=2i, high=2i+1} layout (reorder.cu:30-33): on TPU both decode
+# planes are then *contiguous lane slices* (codes[:, :K/2] and codes[:, K/2:])
+# and each plane's scale groups are contiguous slices of the scale array —
+# no strided lane shuffles anywhere in the matmul kernel.
 # ---------------------------------------------------------------------------
 
 def pack_fp4(codes):
-    """uint8 fp4 codes (..., K) -> packed uint8 (..., K//2)."""
-    lo = codes[..., 0::2] & jnp.uint8(0xF)
-    hi = codes[..., 1::2] & jnp.uint8(0xF)
+    """uint8 fp4 codes (..., K) -> split-plane packed uint8 (..., K//2)."""
+    h = codes.shape[-1] // 2
+    lo = codes[..., :h] & jnp.uint8(0xF)
+    hi = codes[..., h:] & jnp.uint8(0xF)
     return lo | (hi << 4)
 
 
 def unpack_fp4(packed):
-    """packed uint8 (..., K//2) -> uint8 fp4 codes (..., K)."""
+    """split-plane packed uint8 (..., K//2) -> uint8 fp4 codes (..., K)."""
     lo = packed & jnp.uint8(0xF)
     hi = (packed >> 4) & jnp.uint8(0xF)
-    out = jnp.stack([lo, hi], axis=-1)
-    return out.reshape(*packed.shape[:-1], packed.shape[-1] * 2)
+    return jnp.concatenate([lo, hi], axis=-1)
 
 
 def decode_packed_fp4(packed, dtype=_F32):

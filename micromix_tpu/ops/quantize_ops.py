@@ -1,0 +1,105 @@
+"""Fused activation-quantization ops.
+
+Each op ends in the mixed MX quantize (Pallas kernel on TPU; pure-XLA
+fallback on other backends / under interpret) and starts from a different
+producer, mirroring the reference's fused CUDA kernels:
+
+  * reorder_quantize_x   <- reorder_quantize_mixed_kernel (reorder.cu:94-269)
+  * rmsnorm_quantize_x   <- rmsnorm_bf16_mixed_kernel (rmsnorm.cu:96-310)
+  * silu_mul_quantize_x  <- activate_quantize_kernel (activate.cu:42-202)
+
+The channel permutation (``perm``) must already be composed with the
+per-segment block interleave (mx/layout.py compose_segmented); it is a
+trace-time constant, so XLA lowers the gather to a static permute fused
+with the surrounding elementwise work.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.quantize import quantize_mixed_pallas
+from ..mx import layout as lay
+from ..mx import numerics as nx
+from ..mx.formats import FP4, FP6, FP8
+from ..mx.mxtensor import MixedTensor, quantize_mixed
+
+
+def _flatten(x):
+    """(..., K) -> (M, K) plus a restore callable for the leading shape."""
+    lead = x.shape[:-1]
+    return x.reshape(-1, x.shape[-1]), lead
+
+
+def activation_quantize(x2d: jnp.ndarray, k4: int, k6: int, k8: int, *,
+                        use_pallas: bool = True,
+                        interpret: bool = False) -> MixedTensor:
+    """Quantize device-layout activations (M, K) -> MixedTensor."""
+    if use_pallas:
+        return quantize_mixed_pallas(x2d, k4, k6, k8, interpret=interpret)
+    # XLA path: deinterleave -> canonical quantize (which re-interleaves).
+    parts = []
+    off = 0
+    for kseg in (k4, k6, k8):
+        if kseg:
+            parts.append(lay.deinterleave(x2d[:, off:off + kseg]))
+        off += kseg
+    xc = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
+    return quantize_mixed(xc, k4, k6, k8)
+
+
+def reorder_quantize_x(x: jnp.ndarray, perm: jnp.ndarray,
+                       k4: int, k6: int, k8: int, *,
+                       use_pallas: bool = True,
+                       interpret: bool = False) -> MixedTensor:
+    """Gather channels into device order and quantize.  x: (..., K)."""
+    x2d, _ = _flatten(x)
+    xg = jnp.take(x2d, perm, axis=1)
+    return activation_quantize(xg, k4, k6, k8, use_pallas=use_pallas,
+                               interpret=interpret)
+
+
+def rmsnorm_quantize_x(x: jnp.ndarray, gamma: jnp.ndarray, perm: jnp.ndarray,
+                       k4: int, k6: int, k8: int, *,
+                       eps: float = 1e-6,
+                       use_pallas: bool = True,
+                       interpret: bool = False) -> MixedTensor:
+    """RMSNorm -> channel gather -> mixed quantize.
+
+    The row rvariance is permutation-invariant, so it is computed on the
+    un-permuted input; gamma is gathered with the same constant perm and
+    folded into the single fused elementwise pass.
+    """
+    x2d, _ = _flatten(x)
+    xf = x2d.astype(jnp.float32)
+    rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    g = jnp.take(gamma.astype(jnp.float32), perm, axis=0)
+    y = jnp.take(xf, perm, axis=1) * rvar * g[None, :]
+    return activation_quantize(y, k4, k6, k8, use_pallas=use_pallas,
+                               interpret=interpret)
+
+
+def silu_mul_quantize_x(gate: jnp.ndarray, up: jnp.ndarray,
+                        k4: int, k6: int, k8: int, *,
+                        use_pallas: bool = True,
+                        interpret: bool = False) -> MixedTensor:
+    """silu(gate) * up -> mixed quantize, NO gather.
+
+    The down_proj channel permutation is baked into the *rows* of the gate
+    and up projection weights at load time (models/loader.py), the TPU-first
+    equivalent of the reference's no-reorder activate kernel
+    (activate.cu:42-202, SURVEY §2.3).
+    """
+    g2d, _ = _flatten(gate)
+    u2d, _ = _flatten(up)
+    y = jax.nn.silu(g2d.astype(jnp.float32)) * u2d.astype(jnp.float32)
+    return activation_quantize(y, k4, k6, k8, use_pallas=use_pallas,
+                               interpret=interpret)
+
+
+def dequantize_for_test(t: MixedTensor) -> jnp.ndarray:
+    from ..mx.mxtensor import dequantize_mixed
+    return dequantize_mixed(t)

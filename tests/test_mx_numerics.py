@@ -112,6 +112,9 @@ def test_pack_unpack_fp4_roundtrip(rng):
     codes = rng.integers(0, 16, (5, 64)).astype(np.uint8)
     packed = nx.pack_fp4(jnp.asarray(codes))
     assert packed.shape == (5, 32)
+    # split-plane: byte j = code[j] | code[j + 32] << 4
+    np.testing.assert_array_equal(
+        np.asarray(packed), codes[:, :32] | (codes[:, 32:] << 4))
     out = np.asarray(nx.unpack_fp4(packed))
     np.testing.assert_array_equal(out, codes)
 
@@ -120,11 +123,12 @@ def test_mixed_tensor_roundtrip_matches_oracle(rng):
     k4, k6, k8 = 128, 64, 64
     x = rng.normal(0, 1, (9, k4 + k6 + k8)).astype(np.float32)
     x[:, -k8:] *= 100  # outlier channels at the end, as after reorder
-    t = quantize_mixed(jnp.asarray(x), k4, k6, k8)
-    dq = np.asarray(dequantize_mixed(t))
-    segs = oracle.mixed_quantize(x, k4, k6, k8)
-    odq = oracle.mixed_dequantize(segs, k4, k6, k8)
-    np.testing.assert_array_equal(dq, odq)
+    for pack in (False, True):
+        t = quantize_mixed(jnp.asarray(x), k4, k6, k8, pack_fp4=pack)
+        dq = np.asarray(dequantize_mixed(t))
+        segs = oracle.mixed_quantize(x, k4, k6, k8)
+        odq = oracle.mixed_dequantize(segs, k4, k6, k8)
+        np.testing.assert_array_equal(dq, odq)
 
 
 def test_mixed_matmul_xla_matches_oracle(rng):
@@ -134,8 +138,9 @@ def test_mixed_matmul_xla_matches_oracle(rng):
     x[:, -k8:] *= 50
     w = rng.normal(0, 0.5, (n, k4 + k6 + k8)).astype(np.float32)
     a = quantize_mixed(jnp.asarray(x), k4, k6, k8)
-    wq = quantize_mixed(jnp.asarray(w), k4, k6, k8, weight_fp4_only=True)
-    y = np.asarray(mixed_matmul_xla(a, wq, w_fp4_only=True, out_dtype=jnp.float32))
+    wq = quantize_mixed(jnp.asarray(w), k4, k6, k8, weight_fp4_only=True,
+                        pack_fp4=True)
+    y = np.asarray(mixed_matmul_xla(a, wq, out_dtype=jnp.float32))
     want = oracle.mixed_matmul_reference(x, w, k4, k6, k8, weight_fmt="fp4")
     np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-4)
 
