@@ -114,13 +114,15 @@ def mixed_matmul(a: MixedTensor, w: MixedTensor, *,
                  out_dtype=_BF16,
                  bm: Optional[int] = None,
                  bn: Optional[int] = None,
-                 interpret: bool = False) -> jnp.ndarray:
+                 interpret: Optional[bool] = None) -> jnp.ndarray:
     """Y = dq(A) @ dq(W)^T via one fused Pallas kernel.
 
     A: activations (M, K), fp4 segment unpacked.
     W: weights (N, K), fp4 segment split-plane packed, optionally fp4-only.
     Returns (M, N) in out_dtype.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     assert a.segments() == w.segments(), (a.segments(), w.segments())
     assert not a.fp4_packed and (w.fp4_packed or w.k4 == 0)
     k4, k6, k8 = a.segments()

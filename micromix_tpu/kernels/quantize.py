@@ -64,11 +64,13 @@ def _quantize_kernel(x_ref, *out_refs, k4: int, k6: int, k8: int):
 
 def quantize_mixed_pallas(x: jnp.ndarray, k4: int, k6: int, k8: int, *,
                           bm: Optional[int] = None,
-                          interpret: bool = False) -> MixedTensor:
+                          interpret: Optional[bool] = None) -> MixedTensor:
     """Quantize device-layout activations (M, K) into a MixedTensor.
 
     fp4 codes are left unpacked (activation layout; see mx/mxtensor.py).
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
     m, k = x.shape
     assert k == k4 + k6 + k8, (x.shape, k4, k6, k8)
     if bm is None:

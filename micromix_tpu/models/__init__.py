@@ -1,0 +1,32 @@
+"""Quantized model zoo: Llama / Qwen2 / Mixtral as functional JAX modules."""
+
+from .common import (
+    DenseLinear,
+    ModelConfig,
+    QuantLinear,
+    QuantSite,
+    quantize_int_group,
+)
+from .surgery import (
+    ATTN_IN,
+    DOWN_IN,
+    MLP_IN,
+    O_IN,
+    LayerCalib,
+    SiteCalibration,
+    default_calibration,
+    identity_calibration,
+    quantize_linear,
+    quantize_model,
+    random_dense_params,
+)
+from .transformer import forward
+
+__all__ = [
+    "ModelConfig", "DenseLinear", "QuantLinear", "QuantSite",
+    "quantize_int_group", "forward",
+    "SiteCalibration", "LayerCalib", "identity_calibration",
+    "default_calibration", "quantize_linear", "quantize_model",
+    "random_dense_params",
+    "ATTN_IN", "O_IN", "MLP_IN", "DOWN_IN",
+]

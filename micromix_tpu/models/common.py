@@ -1,0 +1,248 @@
+"""Shared model-zoo building blocks: configs, quantized linears, attention.
+
+Functional JAX re-design of the reference's model-surgery layer
+(model/qLinearLayer.py, model/qLlamaLayer.py, …): instead of mutating HF
+modules in place, models here are pure functions over parameter pytrees.
+Quantization is a *load-time weight transform* plus *fused activation ops*:
+
+  * each decoder layer has one quantize site per distinct activation
+    (attn input shared by q/k/v, o input, mlp input shared by gate/up,
+    down input) — the quantize-once / feed-many structure the reference's
+    Mixtral path intended (SURVEY §2.2 version-skew note)
+  * the down_proj channel permutation is baked into gate/up weight ROWS,
+    so silu·mul needs no runtime gather (activate.cu:42-202 equivalent)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..kernels.mixed_matmul import mixed_matmul
+from ..mx.mxtensor import MixedTensor, dequantize_mixed
+from ..ops.quantize_ops import (
+    reorder_quantize_x,
+    rmsnorm_quantize_x,
+    silu_mul_quantize_x,
+)
+
+# ---------------------------------------------------------------------------
+# Config
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Covers Llama 3.x, Qwen2/2.5 and Mixtral decoder architectures."""
+
+    arch: str  # "llama" | "qwen2" | "mixtral"
+    vocab_size: int
+    hidden_size: int
+    intermediate_size: int
+    num_layers: int
+    num_heads: int
+    num_kv_heads: int
+    head_dim: int
+    rope_theta: float = 500000.0
+    rms_eps: float = 1e-5
+    qkv_bias: bool = False            # Qwen2: True
+    tie_embeddings: bool = False
+    sliding_window: Optional[int] = None  # Qwen2 optional
+    num_experts: int = 0              # Mixtral: 8
+    num_experts_per_tok: int = 0      # Mixtral: 2
+    max_position_embeddings: int = 32768
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
+
+
+# ---------------------------------------------------------------------------
+# Linear containers
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantLinear:
+    """MX-quantized linear: packed weight segments + optional bf16 bias.
+
+    Equivalent of QLinearLayer (model/qLinearLayer.py:20-74) minus the
+    per-call quantize — activations arrive pre-quantized (MixedTensor).
+    """
+
+    w: MixedTensor       # (out_features, K) quantized, fp4 split-plane packed
+    bias: Optional[jnp.ndarray] = None
+
+    def __call__(self, qx: MixedTensor) -> jnp.ndarray:
+        y = mixed_matmul(qx, self.w)
+        if self.bias is not None:
+            y = y + self.bias
+        return y
+
+
+jax.tree_util.register_dataclass(QuantLinear, data_fields=["w", "bias"],
+                                 meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseLinear:
+    """bf16 reference linear (quantization off, for A/B numeric testing)."""
+
+    w: jnp.ndarray       # (out_features, in_features)
+    bias: Optional[jnp.ndarray] = None
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = jnp.dot(x, self.w.T, preferred_element_type=jnp.float32)
+        if self.bias is not None:
+            y = y + self.bias
+        return y.astype(jnp.bfloat16)
+
+
+jax.tree_util.register_dataclass(DenseLinear, data_fields=["w", "bias"],
+                                 meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
+class QuantSite:
+    """One activation-quantization site: composed gather + segment split.
+
+    ``perm`` maps device-layout position -> source channel; it composes the
+    calibration reorder_index with the per-segment block interleave
+    (mx/layout.py compose_segmented).  ``None`` perm means the producer
+    already emits device layout (down_proj input).
+    """
+
+    k4: int = dataclasses.field(metadata=dict(static=True))
+    k6: int = dataclasses.field(metadata=dict(static=True))
+    k8: int = dataclasses.field(metadata=dict(static=True))
+    perm: Optional[jnp.ndarray] = None
+
+    @property
+    def splits(self):
+        return (self.k4, self.k6, self.k8)
+
+
+jax.tree_util.register_dataclass(QuantSite, data_fields=["perm"],
+                                 meta_fields=["k4", "k6", "k8"])
+
+
+# ---------------------------------------------------------------------------
+# Elementary ops (bf16 path)
+# ---------------------------------------------------------------------------
+
+
+def rmsnorm(x: jnp.ndarray, g: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (xf * rvar * g.astype(jnp.float32)).astype(jnp.bfloat16)
+
+
+def quantize_int_group(x: jnp.ndarray, nbits: int = 4,
+                       group_size: int = 128) -> jnp.ndarray:
+    """Asymmetric int-group fake quantization (KV-cache accuracy mode).
+
+    Matches quantize_int_group (qLlamaLayer.py:12-23): per-group [min,max]
+    asymmetric uint grid, round-half-even, clamp, dequantize.
+    """
+    shape = x.shape
+    xf = x.astype(jnp.float32).reshape(-1, group_size)
+    gmax = jnp.max(xf, axis=-1, keepdims=True)
+    gmin = jnp.min(xf, axis=-1, keepdims=True)
+    qmax = float(2 ** nbits - 1)
+    scales = jnp.maximum(gmax - gmin, 1e-5) / qmax
+    base = jnp.clip(jnp.round(-gmin / scales), 0.0, qmax)
+    q = jnp.clip(jnp.round(xf / scales) + base, 0.0, qmax)
+    return ((q - base) * scales).reshape(shape).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# RoPE (half-rotation layout, as Llama/Qwen/Mixtral use)
+# ---------------------------------------------------------------------------
+
+
+def rope_table(positions: jnp.ndarray, head_dim: int,
+               theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions (S,) -> (cos, sin) each (S, head_dim)."""
+    inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                           / head_dim))
+    freqs = positions.astype(jnp.float32)[:, None] * inv[None, :]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x (B, S, H, D), cos/sin (S, D)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    c = cos[None, :, None, :]
+    s = sin[None, :, None, :]
+    return (x.astype(jnp.float32) * c + rotated.astype(jnp.float32) * s
+            ).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Attention (full-sequence, causal; bf16 math like the reference's SDPA path)
+# ---------------------------------------------------------------------------
+
+
+def causal_mask(s_q: int, s_k: int, sliding_window: Optional[int] = None,
+                offset: int = 0) -> jnp.ndarray:
+    """(s_q, s_k) bool mask; True = attend.  offset = s_k - s_q alignment."""
+    qi = jnp.arange(s_q)[:, None] + offset
+    ki = jnp.arange(s_k)[None, :]
+    m = ki <= qi
+    if sliding_window is not None:
+        m = jnp.logical_and(m, ki > qi - sliding_window)
+    return m
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              mask: jnp.ndarray) -> jnp.ndarray:
+    """q (B,S,H,D), k/v (B,T,Hkv,D) -> (B,S,H,D).  GQA via head repeat."""
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    rep = h // hkv
+    if rep > 1:
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    scores = jnp.einsum("bshd,bthd->bhst", q.astype(jnp.float32),
+                        k.astype(jnp.float32)) / jnp.sqrt(float(d))
+    scores = jnp.where(mask[None, None, :, :], scores, -1e30)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhst,bthd->bshd", probs.astype(v.dtype), v)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Quantized / dense linear application with shared input quantization
+# ---------------------------------------------------------------------------
+
+
+def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
+                norm_gamma: Optional[jnp.ndarray] = None,
+                rms_eps: float = 1e-6):
+    """Apply [norm ->] [quantize ->] each linear in ``linears`` to x.
+
+    x: (..., K).  Returns list of (..., N_i).
+    Quantized path: one fused rmsnorm/reorder+quantize, then one segmented
+    matmul per consumer (the quantize-once optimization).
+    """
+    lead = x.shape[:-1]
+    quantized = isinstance(linears[0], QuantLinear)
+    if not quantized:
+        xn = rmsnorm(x, norm_gamma, rms_eps) if norm_gamma is not None else x
+        return [lin(xn) for lin in linears]
+    if norm_gamma is not None:
+        qx = rmsnorm_quantize_x(x, norm_gamma, site.perm, *site.splits,
+                                eps=rms_eps)
+    else:
+        qx = reorder_quantize_x(x, site.perm, *site.splits)
+    outs = []
+    for lin in linears:
+        y = lin(qx)
+        outs.append(y.reshape(*lead, y.shape[-1]))
+    return outs

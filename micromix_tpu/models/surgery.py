@@ -1,0 +1,251 @@
+"""Model surgery: dense bf16 parameter pytree -> MX-quantized pytree.
+
+Functional equivalent of reorder_model_llama/qwen/mixtral
+(model/model_utils.py:19-101) + QLinearLayer.__init__'s weight quantization
+(qLinearLayer.py:40-50): channel-permute every linear's input axis by its
+calibration reorder index, quantize the weight (MXFP4 for all segments in
+the default mode), pack, and record the composed activation gather.
+
+Layout contract: weights are gathered with the *canonical* reorder index and
+quantized by mx.quantize_mixed, which emits the block-interleaved device
+layout itself; activation sites store the reorder index *composed* with the
+per-segment interleave (mx/layout.py) so the runtime gather lands directly
+in device layout.  Both sides therefore agree on scale-block membership
+(the reference's consecutive-saliency 32-blocks) and on physical order.
+
+TPU-first differences from the reference:
+  * the down_proj input permutation is baked into gate/up (and Mixtral
+    w1/w3) weight ROWS, so the silu·mul epilogue needs no runtime gather
+    (the fused activate_quantize path the reference left disconnected)
+  * weights are quantized once at load by the XLA path — no runtime weight
+    quantize kernels; persistence via orbax is a separate concern
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..mx import layout as lay
+from ..mx.formats import SEGMENT_ALIGN
+from ..mx.mxtensor import quantize_mixed
+from .common import DenseLinear, ModelConfig, QuantLinear, QuantSite
+
+ATTN_IN = "attn_in"    # -> q, k, v
+O_IN = "o_in"          # -> o_proj
+MLP_IN = "mlp_in"      # -> gate, up  (Mixtral: per-expert w1, w3)
+DOWN_IN = "down_in"    # -> down_proj (Mixtral: per-expert w2)
+
+
+@dataclasses.dataclass
+class SiteCalibration:
+    """Calibration artifact for one quantization site.
+
+    reorder_index: (K,) original-channel index per sorted position
+    (ascending saliency, reorder_indices.py:64-69); p6/p8 multiples of 128
+    (reorder_indices.py:109-110).
+    """
+
+    reorder_index: np.ndarray
+    p6_num: int
+    p8_num: int
+
+    def splits(self, k: int) -> Tuple[int, int, int]:
+        k4 = k - self.p6_num - self.p8_num
+        assert 0 <= k4 <= k, (k, self.p6_num, self.p8_num)
+        return (k4, self.p6_num, self.p8_num)
+
+
+def identity_calibration(k: int, p6: int = 0, p8: int = 0) -> SiteCalibration:
+    return SiteCalibration(np.arange(k, dtype=np.int32), int(p6), int(p8))
+
+
+LayerCalib = Dict[str, SiteCalibration]
+
+
+def make_site(calib: SiteCalibration, k: int) -> QuantSite:
+    k4, k6, k8 = calib.splits(k)
+    dev_perm = lay.compose_segmented(calib.reorder_index, k4, k6, k8)
+    return QuantSite(k4=k4, k6=k6, k8=k8, perm=jnp.asarray(dev_perm))
+
+
+def quantize_linear(w: jnp.ndarray, calib: SiteCalibration,
+                    bias: Optional[jnp.ndarray] = None, *,
+                    weight_fp4_only: bool = True,
+                    row_perm: Optional[np.ndarray] = None) -> QuantLinear:
+    """w (N, K) dense -> QuantLinear (input channels permuted + quantized)."""
+    n, k = w.shape
+    k4, k6, k8 = calib.splits(k)
+    wp = jnp.take(w.astype(jnp.float32),
+                  jnp.asarray(calib.reorder_index, dtype=jnp.int32), axis=1)
+    if row_perm is not None:
+        wp = jnp.take(wp, jnp.asarray(row_perm, dtype=jnp.int32), axis=0)
+        if bias is not None:
+            bias = jnp.take(bias, jnp.asarray(row_perm, dtype=jnp.int32),
+                            axis=0)
+    wq = quantize_mixed(wp, k4, k6, k8, weight_fp4_only=weight_fp4_only,
+                        pack_fp4=True)
+    return QuantLinear(
+        w=wq, bias=None if bias is None else bias.astype(jnp.bfloat16))
+
+
+def _down_row_perm(calib: SiteCalibration, k: int) -> np.ndarray:
+    """Row permutation for gate/up so silu·mul output is in device layout."""
+    k4, k6, k8 = calib.splits(k)
+    return lay.compose_segmented(calib.reorder_index, k4, k6, k8)
+
+
+def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
+                   calib: LayerCalib, *,
+                   weight_fp4_only: bool = True) -> Dict[str, Any]:
+    """One dense decoder-layer param dict -> quantized param dict."""
+    out: Dict[str, Any] = {"ln1": p["ln1"], "ln2": p["ln2"]}
+    hid = cfg.hidden_size
+
+    c_attn = calib[ATTN_IN]
+    out["attn_site"] = make_site(c_attn, hid)
+    for name in ("q", "k", "v"):
+        lin: DenseLinear = p[name]
+        out[name] = quantize_linear(lin.w, c_attn, lin.bias,
+                                    weight_fp4_only=weight_fp4_only)
+
+    c_o = calib[O_IN]
+    out["o_site"] = make_site(c_o, cfg.num_heads * cfg.head_dim)
+    out["o"] = quantize_linear(p["o"].w, c_o, p["o"].bias,
+                               weight_fp4_only=weight_fp4_only)
+
+    if cfg.is_moe:
+        out["router"] = p["router"]  # stays bf16 (qMixtralLayer.py:385)
+        experts = []
+        for e, ep in enumerate(p["experts"]):
+            c_in = calib[f"expert{e}_{MLP_IN}"]
+            c_dn = calib[f"expert{e}_{DOWN_IN}"]
+            rp = _down_row_perm(c_dn, cfg.intermediate_size)
+            experts.append({
+                "site_in": make_site(c_in, hid),
+                "site_down": QuantSite(*c_dn.splits(cfg.intermediate_size)),
+                "w1": quantize_linear(ep["w1"].w, c_in, ep["w1"].bias,
+                                      weight_fp4_only=weight_fp4_only,
+                                      row_perm=rp),
+                "w3": quantize_linear(ep["w3"].w, c_in, ep["w3"].bias,
+                                      weight_fp4_only=weight_fp4_only,
+                                      row_perm=rp),
+                "w2": quantize_linear(ep["w2"].w, c_dn, ep["w2"].bias,
+                                      weight_fp4_only=weight_fp4_only),
+            })
+        out["experts"] = experts
+    else:
+        c_mlp = calib[MLP_IN]
+        c_dn = calib[DOWN_IN]
+        out["mlp_site"] = make_site(c_mlp, hid)
+        out["down_site"] = QuantSite(*c_dn.splits(cfg.intermediate_size))
+        rp = _down_row_perm(c_dn, cfg.intermediate_size)
+        out["gate"] = quantize_linear(p["gate"].w, c_mlp, p["gate"].bias,
+                                      weight_fp4_only=weight_fp4_only,
+                                      row_perm=rp)
+        out["up"] = quantize_linear(p["up"].w, c_mlp, p["up"].bias,
+                                    weight_fp4_only=weight_fp4_only,
+                                    row_perm=rp)
+        out["down"] = quantize_linear(p["down"].w, c_dn, p["down"].bias,
+                                      weight_fp4_only=weight_fp4_only)
+    return out
+
+
+def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
+                   calibs: List[LayerCalib], *,
+                   weight_fp4_only: bool = True) -> Dict[str, Any]:
+    """Dense model pytree -> quantized pytree (embed / norms / head stay bf16,
+    as in the reference which only swaps nn.Linear inside decoder layers)."""
+    assert len(calibs) == cfg.num_layers
+    return {
+        "embed": params["embed"],
+        "final_ln": params["final_ln"],
+        "lm_head": params["lm_head"],
+        "layers": [
+            quantize_layer(p, cfg, c, weight_fp4_only=weight_fp4_only)
+            for p, c in zip(params["layers"], calibs)
+        ],
+    }
+
+
+def default_calibration(cfg: ModelConfig, p6: int = 0, p8: int = 0,
+                        seed: Optional[int] = None) -> List[LayerCalib]:
+    """Identity (or seeded-random) calibration for tests and weight-only
+    modes; real calibration lives in calib/."""
+    hid = cfg.hidden_size
+    inter = cfg.intermediate_size
+    odim = cfg.num_heads * cfg.head_dim
+    rng = np.random.default_rng(seed) if seed is not None else None
+
+    def mk(k):
+        idx = (rng.permutation(k).astype(np.int32) if rng is not None
+               else np.arange(k, dtype=np.int32))
+        return SiteCalibration(idx, p6, p8)
+
+    out = []
+    for _ in range(cfg.num_layers):
+        c: LayerCalib = {ATTN_IN: mk(hid), O_IN: mk(odim)}
+        if cfg.is_moe:
+            for e in range(cfg.num_experts):
+                c[f"expert{e}_{MLP_IN}"] = mk(hid)
+                c[f"expert{e}_{DOWN_IN}"] = mk(inter)
+        else:
+            c[MLP_IN] = mk(hid)
+            c[DOWN_IN] = mk(inter)
+        out.append(c)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Random dense init (tests / benchmarks)
+# ---------------------------------------------------------------------------
+
+
+def random_dense_params(cfg: ModelConfig, seed: int = 0) -> Dict[str, Any]:
+    rng = np.random.default_rng(seed)
+    hid, inter = cfg.hidden_size, cfg.intermediate_size
+    odim = cfg.num_heads * cfg.head_dim
+    kvdim = cfg.num_kv_heads * cfg.head_dim
+
+    def lin(n, k, bias=False, scale=None):
+        s = scale if scale is not None else 1.0 / np.sqrt(k)
+        w = jnp.asarray(rng.normal(0, s, (n, k)), jnp.bfloat16)
+        b = jnp.asarray(rng.normal(0, 0.01, (n,)), jnp.bfloat16) if bias else None
+        return DenseLinear(w=w, bias=b)
+
+    def layer():
+        p = {
+            "ln1": jnp.ones((hid,), jnp.bfloat16),
+            "ln2": jnp.ones((hid,), jnp.bfloat16),
+            "q": lin(odim, hid, cfg.qkv_bias),
+            "k": lin(kvdim, hid, cfg.qkv_bias),
+            "v": lin(kvdim, hid, cfg.qkv_bias),
+            "o": lin(hid, odim),
+        }
+        if cfg.is_moe:
+            p["router"] = lin(cfg.num_experts, hid)
+            p["experts"] = [
+                {"w1": lin(inter, hid), "w3": lin(inter, hid),
+                 "w2": lin(hid, inter)}
+                for _ in range(cfg.num_experts)
+            ]
+        else:
+            p["gate"] = lin(inter, hid)
+            p["up"] = lin(inter, hid)
+            p["down"] = lin(hid, inter)
+        return p
+
+    embed = jnp.asarray(rng.normal(0, 0.02, (cfg.vocab_size, hid)),
+                        jnp.bfloat16)
+    return {
+        "embed": embed,
+        "final_ln": jnp.ones((hid,), jnp.bfloat16),
+        "lm_head": embed if cfg.tie_embeddings else jnp.asarray(
+            rng.normal(0, 0.02, (cfg.vocab_size, hid)), jnp.bfloat16),
+        "layers": [layer() for _ in range(cfg.num_layers)],
+    }

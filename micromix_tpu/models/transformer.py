@@ -1,0 +1,130 @@
+"""Generic decoder-only transformer forward (Llama / Qwen2 / Mixtral).
+
+Functional equivalent of QLlamaDecoderLayer / QQwen2DecoderLayer /
+QMixtralDecoderLayer (model/qLlamaLayer.py:68-387, qQwenLayer.py:87-393,
+qMixtralLayer.py:71-519): one code path, architecture differences driven by
+ModelConfig (qkv bias, sliding window, MoE).  Works in two weight modes —
+DenseLinear (bf16 reference) and QuantLinear (MX mixed precision) — chosen
+by the parameter pytree itself.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.quantize_ops import silu_mul_quantize_x
+from .common import (
+    DenseLinear,
+    ModelConfig,
+    QuantLinear,
+    apply_rope,
+    attention,
+    causal_mask,
+    project_all,
+    quantize_int_group,
+    rmsnorm,
+    rope_table,
+)
+
+Params = Dict[str, Any]
+
+
+def _is_quant(lin) -> bool:
+    return isinstance(lin, QuantLinear)
+
+
+def attention_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
+                    cos, sin, mask, kv_quant_bits: Optional[int]) -> jnp.ndarray:
+    b, s, _ = h.shape
+    hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+    q, k, v = project_all(h, p.get("attn_site"), [p["q"], p["k"], p["v"]],
+                          p["ln1"], cfg.rms_eps)
+    q = q.reshape(b, s, nh, hd)
+    k = k.reshape(b, s, nkv, hd)
+    v = v.reshape(b, s, nkv, hd)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    if kv_quant_bits:
+        # int-group KV fake quant (qLlamaLayer.py:288-290 accuracy mode)
+        k = quantize_int_group(k, kv_quant_bits, group_size=hd)
+        v = quantize_int_group(v, kv_quant_bits, group_size=hd)
+    out = attention(q, k, v, mask).reshape(b, s, nh * hd)
+    (o,) = project_all(out, p.get("o_site"), [p["o"]])
+    return o
+
+
+def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig) -> jnp.ndarray:
+    gate, up = project_all(h, p.get("mlp_site"), [p["gate"], p["up"]],
+                           p["ln2"], cfg.rms_eps)
+    if _is_quant(p["down"]):
+        site = p["down_site"]
+        dq = silu_mul_quantize_x(gate, up, *site.splits)
+        y = p["down"](dq)
+        return y.reshape(*h.shape[:-1], y.shape[-1])
+    return p["down"](jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16)
+                     * up)
+
+
+def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig) -> jnp.ndarray:
+    """Mixtral sparse-MoE block (qMixtralLayer.py:367-452), dense dispatch.
+
+    TPU-first: instead of token gather/scatter per expert (index_add_),
+    every expert runs on all tokens and results are mixed by the (sparse)
+    routing weights — static shapes, MXU-friendly, and the natural form for
+    expert-parallel sharding (each device computes its experts, then psum).
+    The FLOPs overhead vs top-k dispatch is addressed by capacity-based
+    ragged dispatch in serve/ later.
+    """
+    b, s, k = h.shape
+    x = h.reshape(-1, k)
+    xn = rmsnorm(x, p["ln2"], cfg.rms_eps)
+    router_logits = p["router"](xn)  # bf16 gate stays unquantized
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    top_w, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    # dense routing weight matrix (tokens, experts); zero off the top-k
+    weights = jnp.einsum(
+        "tk,tke->te", top_w,
+        jax.nn.one_hot(top_i, cfg.num_experts, dtype=probs.dtype))
+    out = jnp.zeros((x.shape[0], k), jnp.float32)
+    for e, ep in enumerate(p["experts"]):
+        if _is_quant(ep["w1"]):
+            g, u = project_all(xn, ep["site_in"], [ep["w1"], ep["w3"]])
+            dq = silu_mul_quantize_x(g, u, *ep["site_down"].splits)
+            ye = ep["w2"](dq)
+        else:
+            g = ep["w1"](xn)
+            u = ep["w3"](xn)
+            ye = ep["w2"](jax.nn.silu(g.astype(jnp.float32)).astype(
+                jnp.bfloat16) * u)
+        out = out + ye.astype(jnp.float32) * weights[:, e][:, None]
+    return out.astype(jnp.bfloat16).reshape(b, s, k)
+
+
+def decoder_layer(h: jnp.ndarray, p: Params, cfg: ModelConfig, cos, sin,
+                  mask, kv_quant_bits: Optional[int]) -> jnp.ndarray:
+    h = h + attention_block(h, p, cfg, cos, sin, mask, kv_quant_bits)
+    if cfg.is_moe:
+        h = h + moe_block(h, p, cfg)
+    else:
+        h = h + mlp_block(h, p, cfg)
+    return h
+
+
+def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray, *,
+            kv_quant_bits: Optional[int] = None) -> jnp.ndarray:
+    """tokens (B, S) int32 -> logits (B, S, vocab) f32.  Full-sequence
+    causal forward (the perplexity-evaluation path, model/eval.py:13-87)."""
+    b, s = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    cos, sin = rope_table(jnp.arange(s), cfg.head_dim, cfg.rope_theta)
+    mask = causal_mask(s, s, cfg.sliding_window)
+    for p in params["layers"]:
+        h = decoder_layer(h, p, cfg, cos, sin, mask, kv_quant_bits)
+    h = rmsnorm(h, params["final_ln"], cfg.rms_eps)
+    logits = jnp.dot(h, params["lm_head"].T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return logits

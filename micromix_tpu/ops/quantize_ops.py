@@ -36,7 +36,7 @@ def _flatten(x):
 
 def activation_quantize(x2d: jnp.ndarray, k4: int, k6: int, k8: int, *,
                         use_pallas: bool = True,
-                        interpret: bool = False) -> MixedTensor:
+                        interpret: Optional[bool] = None) -> MixedTensor:
     """Quantize device-layout activations (M, K) -> MixedTensor."""
     if use_pallas:
         return quantize_mixed_pallas(x2d, k4, k6, k8, interpret=interpret)
@@ -54,7 +54,7 @@ def activation_quantize(x2d: jnp.ndarray, k4: int, k6: int, k8: int, *,
 def reorder_quantize_x(x: jnp.ndarray, perm: jnp.ndarray,
                        k4: int, k6: int, k8: int, *,
                        use_pallas: bool = True,
-                       interpret: bool = False) -> MixedTensor:
+                       interpret: Optional[bool] = None) -> MixedTensor:
     """Gather channels into device order and quantize.  x: (..., K)."""
     x2d, _ = _flatten(x)
     xg = jnp.take(x2d, perm, axis=1)
@@ -66,7 +66,7 @@ def rmsnorm_quantize_x(x: jnp.ndarray, gamma: jnp.ndarray, perm: jnp.ndarray,
                        k4: int, k6: int, k8: int, *,
                        eps: float = 1e-6,
                        use_pallas: bool = True,
-                       interpret: bool = False) -> MixedTensor:
+                       interpret: Optional[bool] = None) -> MixedTensor:
     """RMSNorm -> channel gather -> mixed quantize.
 
     The row rvariance is permutation-invariant, so it is computed on the
@@ -85,7 +85,7 @@ def rmsnorm_quantize_x(x: jnp.ndarray, gamma: jnp.ndarray, perm: jnp.ndarray,
 def silu_mul_quantize_x(gate: jnp.ndarray, up: jnp.ndarray,
                         k4: int, k6: int, k8: int, *,
                         use_pallas: bool = True,
-                        interpret: bool = False) -> MixedTensor:
+                        interpret: Optional[bool] = None) -> MixedTensor:
     """silu(gate) * up -> mixed quantize, NO gather.
 
     The down_proj channel permutation is baked into the *rows* of the gate

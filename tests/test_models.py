@@ -1,0 +1,108 @@
+"""Model-zoo tests: dense reference forward vs MX-quantized forward.
+
+The quantized forward with generous precision budgets must track the bf16
+reference closely (the e2e-accuracy-as-integration-test tier, SURVEY §4).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from micromix_tpu.models import (
+    ModelConfig,
+    default_calibration,
+    forward,
+    quantize_model,
+    random_dense_params,
+)
+
+
+def _cfg(arch="llama", **kw):
+    base = dict(
+        arch=arch, vocab_size=512, hidden_size=256, intermediate_size=384,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+        rope_theta=10000.0, rms_eps=1e-6,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _logit_corr(a, b):
+    a = a.reshape(-1).astype(np.float64)
+    b = b.reshape(-1).astype(np.float64)
+    return np.corrcoef(a, b)[0, 1]
+
+
+@pytest.mark.parametrize("arch,kw", [
+    ("llama", {}),
+    ("qwen2", dict(qkv_bias=True, sliding_window=64)),
+    ("mixtral", dict(num_experts=4, num_experts_per_tok=2)),
+])
+def test_quantized_forward_tracks_dense(rng, arch, kw):
+    cfg = _cfg(arch, **kw)
+    params = random_dense_params(cfg, seed=1)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 32)), jnp.int32)
+    ref = np.asarray(forward(params, cfg, tokens))
+    assert np.isfinite(ref).all()
+
+    # full-precision budget: fp8 activations + symmetric fp8 weights
+    calibs8 = default_calibration(cfg, p6=0, p8=cfg.hidden_size, seed=7)
+    q8 = quantize_model(params, cfg, calibs8, weight_fp4_only=False)
+    got8 = np.asarray(forward(q8, cfg, tokens))
+    assert np.isfinite(got8).all()
+    corr8 = _logit_corr(ref, got8)
+    assert corr8 > 0.97, f"fp8 logit corr {corr8}"
+
+    # mixed budget with fp4 weights: still sane, and strictly worse than fp8
+    # (random weights amplify MX error far more than real LLM weights)
+    calibs4 = default_calibration(cfg, p6=0, p8=128, seed=7)
+    q4 = quantize_model(params, cfg, calibs4)
+    got4 = np.asarray(forward(q4, cfg, tokens))
+    assert np.isfinite(got4).all()
+    corr4 = _logit_corr(ref, got4)
+    assert 0.7 < corr4 < corr8, f"mixed logit corr {corr4} vs fp8 {corr8}"
+
+
+def test_kv_fake_quant_close(rng):
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=2)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 16)), jnp.int32)
+    ref = np.asarray(forward(params, cfg, tokens))
+    kvq = np.asarray(forward(params, cfg, tokens, kv_quant_bits=4))
+    corr = _logit_corr(ref, kvq)
+    assert corr > 0.95, corr
+    assert not np.array_equal(ref, kvq)  # it must actually do something
+
+
+def test_quantize_int_group_matches_reference_semantics(rng):
+    from micromix_tpu.models import quantize_int_group
+    x = rng.normal(0, 1, (4, 8, 128)).astype(np.float32)
+    y = np.asarray(quantize_int_group(jnp.asarray(x), 4, 128))
+    # numpy reimplementation of the asymmetric int4 grid
+    xf = x.reshape(-1, 128)
+    gmax, gmin = xf.max(-1, keepdims=True), xf.min(-1, keepdims=True)
+    scales = np.maximum(gmax - gmin, 1e-5) / 15.0
+    base = np.clip(np.round(-gmin / scales), 0, 15)
+    q = np.clip(np.round(xf / scales) + base, 0, 15)
+    want = ((q - base) * scales).reshape(x.shape)
+    np.testing.assert_allclose(y, want, rtol=1e-6, atol=1e-6)
+
+
+def test_identity_vs_random_reorder_equivalent_dense_math(rng):
+    """With identical splits, a random reorder must not change the *dense*
+    matmul result (permutation invariance) — only block membership."""
+    from micromix_tpu.models import (
+        SiteCalibration, quantize_linear)
+    from micromix_tpu.mx.mxtensor import dequantize_mixed
+    k, n = 256, 128
+    w = jnp.asarray(rng.normal(0, 0.1, (n, k)), jnp.float32)
+    perm = rng.permutation(k).astype(np.int32)
+    lin = quantize_linear(w, SiteCalibration(perm, 0, 0))
+    wdq = np.asarray(dequantize_mixed(lin.w))  # (n, k) in permuted order
+    # un-permute and compare to quantizing without reorder up to block noise
+    unperm = np.empty_like(wdq)
+    unperm[:, perm] = wdq
+    rel = np.linalg.norm(unperm - np.asarray(w)) / np.linalg.norm(np.asarray(w))
+    assert rel < 0.2
