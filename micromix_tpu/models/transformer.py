@@ -37,11 +37,17 @@ def _is_quant(lin) -> bool:
 
 
 def attention_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
-                    cos, sin, mask, kv_quant_bits: Optional[int]) -> jnp.ndarray:
+                    cos, sin, mask, kv_quant_bits: Optional[int],
+                    tap=None) -> jnp.ndarray:
     b, s, _ = h.shape
     hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
-    q, k, v = project_all(h, p.get("attn_site"), [p["q"], p["k"], p["v"]],
-                          p["ln1"], cfg.rms_eps)
+    if tap is not None:  # dense calibration path: expose the site inputs
+        xn = rmsnorm(h, p["ln1"], cfg.rms_eps)
+        tap("attn_in", xn)
+        q, k, v = p["q"](xn), p["k"](xn), p["v"](xn)
+    else:
+        q, k, v = project_all(h, p.get("attn_site"), [p["q"], p["k"], p["v"]],
+                              p["ln1"], cfg.rms_eps)
     q = q.reshape(b, s, nh, hd)
     k = k.reshape(b, s, nkv, hd)
     v = v.reshape(b, s, nkv, hd)
@@ -52,11 +58,23 @@ def attention_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
         k = quantize_int_group(k, kv_quant_bits, group_size=hd)
         v = quantize_int_group(v, kv_quant_bits, group_size=hd)
     out = attention(q, k, v, mask).reshape(b, s, nh * hd)
+    if tap is not None:
+        tap("o_in", out)
+        return p["o"](out)
     (o,) = project_all(out, p.get("o_site"), [p["o"]])
     return o
 
 
-def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig) -> jnp.ndarray:
+def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
+              tap=None) -> jnp.ndarray:
+    if tap is not None:
+        xn = rmsnorm(h, p["ln2"], cfg.rms_eps)
+        tap("mlp_in", xn)
+        gate, up = p["gate"](xn), p["up"](xn)
+        act = (jax.nn.silu(gate.astype(jnp.float32)) *
+               up.astype(jnp.float32)).astype(jnp.bfloat16)
+        tap("down_in", act)
+        return p["down"](act)
     gate, up = project_all(h, p.get("mlp_site"), [p["gate"], p["up"]],
                            p["ln2"], cfg.rms_eps)
     if _is_quant(p["down"]):
@@ -68,7 +86,8 @@ def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig) -> jnp.ndarray:
                      * up)
 
 
-def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig) -> jnp.ndarray:
+def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
+              tap=None) -> jnp.ndarray:
     """Mixtral sparse-MoE block (qMixtralLayer.py:367-452), dense dispatch.
 
     TPU-first: instead of token gather/scatter per expert (index_add_),
@@ -89,9 +108,21 @@ def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig) -> jnp.ndarray:
     weights = jnp.einsum(
         "tk,tke->te", top_w,
         jax.nn.one_hot(top_i, cfg.num_experts, dtype=probs.dtype))
+    if tap is not None:
+        # router input feeds gate + every expert's w1/w3 for smoothing
+        tap("mlp_in", xn)
     out = jnp.zeros((x.shape[0], k), jnp.float32)
     for e, ep in enumerate(p["experts"]):
-        if _is_quant(ep["w1"]):
+        if tap is not None:
+            routed = weights[:, e] > 0  # tokens actually routed to e
+            tap(f"expert{e}_mlp_in", xn, routed)
+            g = ep["w1"](xn)
+            u = ep["w3"](xn)
+            act = (jax.nn.silu(g.astype(jnp.float32)) *
+                   u.astype(jnp.float32)).astype(jnp.bfloat16)
+            tap(f"expert{e}_down_in", act, routed)
+            ye = ep["w2"](act)
+        elif _is_quant(ep["w1"]):
             g, u = project_all(xn, ep["site_in"], [ep["w1"], ep["w3"]])
             dq = silu_mul_quantize_x(g, u, *ep["site_down"].splits)
             ye = ep["w2"](dq)
@@ -105,25 +136,34 @@ def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig) -> jnp.ndarray:
 
 
 def decoder_layer(h: jnp.ndarray, p: Params, cfg: ModelConfig, cos, sin,
-                  mask, kv_quant_bits: Optional[int]) -> jnp.ndarray:
-    h = h + attention_block(h, p, cfg, cos, sin, mask, kv_quant_bits)
+                  mask, kv_quant_bits: Optional[int], tap=None) -> jnp.ndarray:
+    h = h + attention_block(h, p, cfg, cos, sin, mask, kv_quant_bits, tap)
     if cfg.is_moe:
-        h = h + moe_block(h, p, cfg)
+        h = h + moe_block(h, p, cfg, tap)
     else:
-        h = h + mlp_block(h, p, cfg)
+        h = h + mlp_block(h, p, cfg, tap)
     return h
 
 
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray, *,
-            kv_quant_bits: Optional[int] = None) -> jnp.ndarray:
+            kv_quant_bits: Optional[int] = None, tap=None) -> jnp.ndarray:
     """tokens (B, S) int32 -> logits (B, S, vocab) f32.  Full-sequence
-    causal forward (the perplexity-evaluation path, model/eval.py:13-87)."""
+    causal forward (the perplexity-evaluation path, model/eval.py:13-87).
+
+    ``tap(site_name, activations, row_mask=None)`` — calibration hook,
+    dense params only (the forward-hook tier of reorder_indices.py:71-78);
+    the current layer index is prepended by the caller via functools.
+    """
     b, s = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
     cos, sin = rope_table(jnp.arange(s), cfg.head_dim, cfg.rope_theta)
     mask = causal_mask(s, s, cfg.sliding_window)
-    for p in params["layers"]:
-        h = decoder_layer(h, p, cfg, cos, sin, mask, kv_quant_bits)
+    for i, p in enumerate(params["layers"]):
+        layer_tap = None
+        if tap is not None:
+            layer_tap = (lambda idx: lambda name, x, m=None:
+                         tap(idx, name, x, m))(i)
+        h = decoder_layer(h, p, cfg, cos, sin, mask, kv_quant_bits, layer_tap)
     h = rmsnorm(h, params["final_ln"], cfg.rms_eps)
     logits = jnp.dot(h, params["lm_head"].T.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
