@@ -1,0 +1,133 @@
+"""CLI drivers.
+
+Equivalents of the reference entry points:
+  * ``python -m micromix_tpu.cli calibrate``  <- reorder_indices.py
+  * ``python -m micromix_tpu.cli eval``       <- model/main.py
+(`test.sh`'s three jobs = eval with --eval-ppl / --tasks).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+
+def _load_model(args):
+    from .models.loader import load_dense_params, config_from_hf
+    with open(os.path.join(args.model, "config.json")) as f:
+        cfg = config_from_hf(json.load(f))
+    params = load_dense_params(args.model, cfg)
+    return cfg, params
+
+
+def _tokenizer(args):
+    from transformers import AutoTokenizer
+    return AutoTokenizer.from_pretrained(args.model, use_fast=True)
+
+
+def cmd_calibrate(args) -> None:
+    from .calib import collect_calibration, save_calibration, stats_to_calibration
+    from .calib.allocate import average_bits
+    from .eval.datasets import get_loaders
+
+    cfg, params = _load_model(args)
+    tok = _tokenizer(args)
+    t0 = time.time()
+    batches, _ = get_loaders(args.dataset, tok, seqlen=args.seqlen,
+                             nsamples=args.samples)
+    stats = collect_calibration(params, cfg, batches, lamda=args.lamda)
+    calibs = stats_to_calibration(stats, cfg)
+    print(f"average bits: {average_bits(calibs, cfg):.3f}")
+    print(f"calibration time: {time.time() - t0:.1f}s")
+    save_calibration(args.output, calibs, stats)
+    print(f"saved -> {args.output}")
+
+
+def cmd_eval(args) -> None:
+    import numpy as np
+    from .calib import load_calibration, smooth_params
+    from .eval.datasets import get_loaders
+    from .eval.ppl import eval_ppl
+    from .models.surgery import quantize_model
+
+    cfg, params = _load_model(args)
+    tok = _tokenizer(args)
+
+    if args.do_quant:
+        calibs, absmax = load_calibration(args.calibration)
+        if args.smooth and absmax:
+            stats = {k: {"absmax": v} for k, v in absmax.items()}
+            params = smooth_params(params, cfg, stats, alpha=args.alpha)
+        params = quantize_model(params, cfg, calibs,
+                                weight_fp4_only=not args.symmetric_weights)
+
+    results = {}
+    if args.eval_ppl:
+        for name in args.eval_ppl.split(","):
+            _, stream = get_loaders(name, tok)
+            ppl = eval_ppl(params, cfg, stream, seqlen=args.seqlen,
+                           kv_quant_bits=args.kv_bits,
+                           progress=lambda i, n: print(
+                               f"\r{name} {i}/{n}", end="", flush=True))
+            print()
+            results[f"ppl/{name}"] = ppl
+            print(f"{name} perplexity: {ppl:.4f}")
+
+    if args.tasks:
+        from .eval.lm_eval_adapter import Scorer, run_lm_eval
+        scorer = Scorer(params, cfg, max_len=args.seqlen,
+                        kv_quant_bits=args.kv_bits)
+        out = run_lm_eval(scorer, tok, args.tasks.split(","),
+                          num_fewshot=args.num_fewshot, limit=args.limit)
+        results["lm_eval"] = out["results"]
+        print(json.dumps(out["results"], indent=2, default=str))
+
+    if args.log_dir:
+        os.makedirs(args.log_dir, exist_ok=True)
+        stamp = time.strftime("%Y%m%d-%H%M%S")
+        with open(os.path.join(args.log_dir, f"log_{stamp}.json"), "w") as f:
+            json.dump(results, f, indent=2, default=str)
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser(prog="micromix_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("calibrate", help="reorder-index calibration")
+    c.add_argument("--model", required=True, help="local HF checkpoint dir")
+    c.add_argument("--samples", type=int, default=32)
+    c.add_argument("--seqlen", type=int, default=2048)
+    c.add_argument("--lamda", type=float, default=1.0)
+    c.add_argument("--dataset", default="wikitext2")
+    c.add_argument("--output", default="saved/calibration.npz")
+    c.set_defaults(fn=cmd_calibrate)
+
+    e = sub.add_parser("eval", help="perplexity / lm-eval tasks")
+    e.add_argument("--model", required=True)
+    e.add_argument("--do-quant", action="store_true")
+    e.add_argument("--calibration", default="saved/calibration.npz")
+    e.add_argument("--smooth", action="store_true", default=True)
+    e.add_argument("--no-smooth", dest="smooth", action="store_false")
+    e.add_argument("--alpha", type=float, default=0.5)
+    e.add_argument("--symmetric-weights", action="store_true",
+                   help="W4/6/8 per segment instead of all-MXFP4 weights")
+    e.add_argument("--eval-ppl", default="", help="comma list: wikitext2,ptb,c4")
+    e.add_argument("--tasks", default="", help="lm-eval task list")
+    e.add_argument("--num-fewshot", type=int, default=0)
+    e.add_argument("--limit", type=int, default=None)
+    e.add_argument("--seqlen", type=int, default=2048)
+    e.add_argument("--kv-bits", type=int, default=None,
+                   help="int-group KV fake quant bits (e.g. 4)")
+    e.add_argument("--log-dir", default="results")
+    e.set_defaults(fn=cmd_eval)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

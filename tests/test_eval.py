@@ -1,0 +1,104 @@
+"""Evaluation tier: perplexity, scorer, HF-name loader round-trip."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from micromix_tpu.eval.datasets import synthetic_tokens
+from micromix_tpu.eval.lm_eval_adapter import Scorer
+from micromix_tpu.eval.ppl import eval_ppl
+from micromix_tpu.models import (
+    ModelConfig,
+    default_calibration,
+    forward,
+    quantize_model,
+    random_dense_params,
+)
+from micromix_tpu.models.loader import export_dense_params, load_dense_params
+
+
+def _cfg(**kw):
+    base = dict(
+        arch="llama", vocab_size=256, hidden_size=256, intermediate_size=384,
+        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=64,
+        rope_theta=10000.0, rms_eps=1e-6,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_ppl_dense_vs_quantized(rng):
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=6)
+    stream = synthetic_tokens(cfg.vocab_size, 4 * 64 + 5, seed=1)
+    ppl_d = eval_ppl(params, cfg, stream, seqlen=64)
+    assert np.isfinite(ppl_d) and ppl_d > 1.0
+
+    calibs = default_calibration(cfg, p6=0, p8=cfg.hidden_size, seed=7)
+    qparams = quantize_model(params, cfg, calibs, weight_fp4_only=False)
+    ppl_q = eval_ppl(qparams, cfg, stream, seqlen=64)
+    assert np.isfinite(ppl_q)
+    # fp8 quantization shifts a random-model ppl only modestly
+    assert abs(np.log(ppl_q) - np.log(ppl_d)) < 0.15 * abs(np.log(ppl_d))
+
+
+def test_ppl_batching_invariance(rng):
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=6)
+    stream = synthetic_tokens(cfg.vocab_size, 4 * 64, seed=2)
+    p1 = eval_ppl(params, cfg, stream, seqlen=64, batch=1)
+    p2 = eval_ppl(params, cfg, stream, seqlen=64, batch=2)
+    np.testing.assert_allclose(p1, p2, rtol=1e-3)
+
+
+def test_scorer_loglikelihood(rng):
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=6)
+    sc = Scorer(params, cfg, max_len=64)
+    ctx = list(rng.integers(0, cfg.vocab_size, 10))
+    cont = list(rng.integers(0, cfg.vocab_size, 3))
+    ll, greedy = sc.loglikelihood_tokens(ctx, cont)
+    assert ll < 0.0
+    # rolling over the same short window ~ sum of the full stream ll
+    roll = sc.rolling_loglikelihood(ctx + cont)
+    assert roll < 0.0
+    gen = sc.greedy_generate(ctx, max_new=4)
+    assert len(gen) == 4
+
+
+def test_loader_roundtrip(rng):
+    cfg = _cfg(qkv_bias=True, arch="qwen2")
+    params = random_dense_params(cfg, seed=8)
+    tensors = export_dense_params(params, cfg)
+    assert "model.layers.1.self_attn.q_proj.bias" in tensors
+    reloaded = load_dense_params(None, cfg, tensors=tensors)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(forward(params, cfg, toks)),
+        np.asarray(forward(reloaded, cfg, toks)))
+
+
+def test_loader_roundtrip_moe(rng):
+    cfg = _cfg(arch="mixtral", num_experts=2, num_experts_per_tok=2)
+    params = random_dense_params(cfg, seed=9)
+    tensors = export_dense_params(params, cfg)
+    assert "model.layers.0.block_sparse_moe.experts.1.w2.weight" in tensors
+    reloaded = load_dense_params(None, cfg, tensors=tensors)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(forward(params, cfg, toks)),
+        np.asarray(forward(reloaded, cfg, toks)))
+
+
+def test_config_from_hf():
+    from micromix_tpu.models.loader import config_from_hf
+    cfg = config_from_hf({
+        "model_type": "llama", "vocab_size": 128256, "hidden_size": 4096,
+        "intermediate_size": 14336, "num_hidden_layers": 32,
+        "num_attention_heads": 32, "num_key_value_heads": 8,
+        "rope_theta": 500000.0, "rms_norm_eps": 1e-5,
+        "tie_word_embeddings": False,
+    })
+    assert cfg.head_dim == 128 and cfg.num_kv_heads == 8
+    assert not cfg.qkv_bias and not cfg.is_moe
