@@ -127,15 +127,16 @@ def mixed_matmul(a: MixedTensor, w: MixedTensor, *,
     assert not a.fp4_packed and (w.fp4_packed or w.k4 == 0)
     k4, k6, k8 = a.segments()
     m, n = a.rows, w.rows
-    assert n % 128 == 0, f"N={n} must be a multiple of 128"
 
     if bm is None:
         bm = min(256, _round_up(m, 32))
     if bn is None:
         bn = 256 if n % 256 == 0 else 128
+    bn = min(bn, _round_up(n, 128))
     mp = _round_up(m, bm)
+    np_ = _round_up(n, bn)
 
-    grid = (mp // bm, n // bn)
+    grid = (mp // bm, np_ // bn)
 
     def a_spec(cols):
         return pl.BlockSpec((bm, cols), lambda i, j: (i, 0),
@@ -155,11 +156,14 @@ def mixed_matmul(a: MixedTensor, w: MixedTensor, *,
         ])
 
     if k4:
-        add(_pad_rows(a.fp4, mp), _pad_rows(a.sf4, mp), w.fp4, w.sf4)
+        add(_pad_rows(a.fp4, mp), _pad_rows(a.sf4, mp),
+            _pad_rows(w.fp4, np_), _pad_rows(w.sf4, np_))
     if k6:
-        add(_pad_rows(a.fp6, mp), _pad_rows(a.sf6, mp), w.fp6, w.sf6)
+        add(_pad_rows(a.fp6, mp), _pad_rows(a.sf6, mp),
+            _pad_rows(w.fp6, np_), _pad_rows(w.sf6, np_))
     if k8:
-        add(_pad_rows(a.fp8, mp), _pad_rows(a.sf8, mp), w.fp8, w.sf8)
+        add(_pad_rows(a.fp8, mp), _pad_rows(a.sf8, mp),
+            _pad_rows(w.fp8, np_), _pad_rows(w.sf8, np_))
     assert operands, "all segments empty"
 
     kernel = functools.partial(
@@ -174,9 +178,9 @@ def mixed_matmul(a: MixedTensor, w: MixedTensor, *,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, n), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0),
         interpret=interpret,
     )(*operands)
-    return out[:m] if mp != m else out
+    return out[:m, :n] if (mp, np_) != (m, n) else out

@@ -1,0 +1,21 @@
+"""Multi-chip SPMD: mesh construction, TP/DP/EP sharded forward.
+
+Net-new scope relative to the reference (SURVEY §2.5: it has no real
+distribution — only one-GPU-at-a-time layer placement,
+model/parallel_utils.py:89-163).  Design per the north star: weights and KV
+tensor-sharded over a `jax.sharding.Mesh`, XLA collectives over ICI via
+`shard_map`, expert sharding for Mixtral.
+"""
+
+from .mesh import make_mesh
+from .spmd import (
+    sharded_quantized_forward,
+    shard_quantized_params,
+    tp_validate_config,
+)
+from .moe_ep import ep_moe_forward, stack_dense_experts
+
+__all__ = [
+    "make_mesh", "sharded_quantized_forward", "shard_quantized_params",
+    "tp_validate_config", "ep_moe_forward", "stack_dense_experts",
+]

@@ -1,0 +1,76 @@
+"""Expert parallelism for Mixtral over the "expert" mesh axis.
+
+The dense-dispatch MoE form (models/transformer.py moe_block) makes EP a
+one-liner: stack the experts into (E, ...) arrays sharded on dim 0; each
+device computes its local experts on replicated tokens weighted by the
+(sparse) routing matrix, and a single psum over "expert" combines them.
+No token all-to-all, static shapes, and the routing softmax/top-k is
+computed redundantly per device (it is tiny).
+
+The reference iterates experts serially on one device
+(qMixtralLayer.py:437-450) — EP is net-new capability per the north star.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.common import DenseLinear, ModelConfig, rmsnorm
+
+
+def stack_dense_experts(experts: List[Dict[str, DenseLinear]]):
+    """[{w1,w3,w2}] -> dict of stacked (E, n, k) bf16 arrays."""
+    def stack(name):
+        return jnp.stack([ep[name].w for ep in experts])
+    return {"w1": stack("w1"), "w3": stack("w3"), "w2": stack("w2")}
+
+
+def ep_moe_ffn_local(xn: jnp.ndarray, stacked, weights: jnp.ndarray,
+                     e_offset: jnp.ndarray) -> jnp.ndarray:
+    """Local experts (El, ...) on all tokens; returns partial sum (T, K)."""
+    el = stacked["w1"].shape[0]
+    out = jnp.zeros((xn.shape[0], stacked["w2"].shape[1]), jnp.float32)
+    for i in range(el):
+        g = jnp.dot(xn, stacked["w1"][i].T, preferred_element_type=jnp.float32)
+        u = jnp.dot(xn, stacked["w3"][i].T, preferred_element_type=jnp.float32)
+        act = (jax.nn.silu(g) * u).astype(jnp.bfloat16)
+        y = jnp.dot(act, stacked["w2"][i].T,
+                    preferred_element_type=jnp.float32)
+        out = out + y * weights[:, e_offset + i][:, None]
+    return out
+
+
+def ep_moe_forward(x: jnp.ndarray, ln2: jnp.ndarray, router: DenseLinear,
+                   stacked, cfg: ModelConfig, mesh: Mesh) -> jnp.ndarray:
+    """One MoE FFN sub-block, experts sharded over 'expert'.  x: (T, K)."""
+    ep = mesh.shape["expert"]
+    assert cfg.num_experts % ep == 0
+
+    def local(x, ln2, router_w, w1, w3, w2):
+        xn = rmsnorm(x, ln2, cfg.rms_eps)
+        logits = jnp.dot(xn, router_w.T, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_w, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        weights = jnp.einsum(
+            "tk,tke->te", top_w,
+            jax.nn.one_hot(top_i, cfg.num_experts, dtype=probs.dtype))
+        e_off = jax.lax.axis_index("expert") * (cfg.num_experts // ep)
+        part = ep_moe_ffn_local(xn, {"w1": w1, "w3": w3, "w2": w2},
+                                weights, e_off)
+        return jax.lax.psum(part, "expert").astype(jnp.bfloat16)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("expert", None, None),
+                  P("expert", None, None), P("expert", None, None)),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return mapped(x, ln2, router.w, stacked["w1"], stacked["w3"],
+                  stacked["w2"])
