@@ -1,0 +1,197 @@
+"""Paged decode attention over the quantized KV cache.
+
+TPU re-expression of the FlashInfer batch-decode kernel with on-the-fly
+INT4 dequant and flash-style online softmax
+(flashinfer/decode.cuh:492-651, state.cuh:17-68):
+
+  * grid = one program per sequence; the page table and sequence lengths
+    are scalar-prefetched so page DMAs are issued from SMEM indices
+  * pages are token-minor (Hkv, dq, page_size) — every DMA slice and every
+    dequantized tile is 128-lane aligned, and the dequantized (D, ps) tile
+    is exactly the K^T operand the MXU wants (no transposes anywhere)
+  * each page is DMA'd HBM->VMEM double-buffered, dequantized on the VPU,
+    and folded into a running (Hkv, G, D) f32 accumulator with the online
+    max/denominator recurrence; all GQA query heads of one kv head are
+    processed as one matmul
+
+``paged_decode_attention_xla`` is the dense-gather reference the kernel is
+tested against.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .kv_cache import PagedKVCache, kv_dequantize_page
+
+_NEG = -1e30
+
+
+def paged_decode_attention_xla(q: jnp.ndarray, cache: PagedKVCache,
+                               seq_ids: jnp.ndarray) -> jnp.ndarray:
+    """Reference path.  q (B, H, D) -> (B, H, D)."""
+    b, h, d = q.shape
+    hkv = cache.n_kv_heads
+    g = h // hkv
+    mp, ps = cache.max_pages_per_seq, cache.page_size
+    pages = cache.page_table[seq_ids]                      # (B, MP)
+    k = kv_dequantize_page(cache.k_codes[pages], cache.k_scale[pages],
+                           cache.k_zero[pages], cache.bits)  # (B,MP,Hkv,D,ps)
+    v = kv_dequantize_page(cache.v_codes[pages], cache.v_scale[pages],
+                           cache.v_zero[pages], cache.bits)
+    t = mp * ps
+    # -> (B, T, Hkv, D)
+    k = k.transpose(0, 1, 4, 2, 3).reshape(b, t, hkv, d)
+    v = v.transpose(0, 1, 4, 2, 3).reshape(b, t, hkv, d)
+    qg = q.reshape(b, hkv, g, d).astype(jnp.float32)
+    scores = jnp.einsum("bkgd,btkd->bkgt", qg, k)
+    scores = scores / jnp.sqrt(float(d))
+    valid = (jnp.arange(t)[None, :] < cache.lengths[seq_ids][:, None])
+    scores = jnp.where(valid[:, None, None, :], scores, _NEG)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgt,btkd->bkgd", probs, v)
+    return out.reshape(b, h, d).astype(jnp.bfloat16)
+
+
+def _dequant_head(codes, scale, zero, bits):
+    """codes (dq, ps) u8, scale/zero (ps,) -> f32 (D, ps)."""
+    if bits == 4:
+        c = codes.astype(jnp.uint32)
+        lo = (c & 0xF).astype(jnp.int32)
+        hi = ((c >> 4) & 0xF).astype(jnp.int32)
+        qv = jnp.concatenate([lo, hi], axis=0)
+    else:
+        qv = codes.astype(jnp.int32)
+    return ((qv.astype(jnp.float32) - zero.astype(jnp.float32)[None, :])
+            * scale.astype(jnp.float32)[None, :])
+
+
+def _decode_kernel(
+    page_tbl, lengths,           # scalar prefetch (SMEM)
+    q_ref,                       # (1, Hkv, G, D) VMEM
+    kc, vc, ks, kz, vs, vz,      # full cache arrays (ANY/HBM)
+    out_ref,                     # (1, Hkv, G, D) VMEM
+    kbuf, vbuf, sbuf, sem,       # scratch
+    *, bits: int, page_size: int, hkv: int, g: int, d: int,
+):
+    b = pl.program_id(0)
+    n = lengths[b]
+    npages = pl.cdiv(n, page_size)
+    scale = 1.0 / (d ** 0.5)
+    q = q_ref[0].astype(jnp.float32) * scale        # (Hkv, G, D)
+
+    def dma(slot, p_idx):
+        pid = page_tbl[b, p_idx]
+        return [
+            pltpu.make_async_copy(kc.at[pid], kbuf.at[slot], sem.at[slot, 0]),
+            pltpu.make_async_copy(vc.at[pid], vbuf.at[slot], sem.at[slot, 1]),
+            pltpu.make_async_copy(ks.at[pid], sbuf.at[slot, 0], sem.at[slot, 2]),
+            pltpu.make_async_copy(kz.at[pid], sbuf.at[slot, 1], sem.at[slot, 3]),
+            pltpu.make_async_copy(vs.at[pid], sbuf.at[slot, 2], sem.at[slot, 4]),
+            pltpu.make_async_copy(vz.at[pid], sbuf.at[slot, 3], sem.at[slot, 5]),
+        ]
+
+    @pl.when(npages > 0)
+    def _():
+        for c in dma(0, 0):
+            c.start()
+
+    def body(p, carry):
+        acc, m, den = carry
+        slot = p % 2
+
+        @pl.when(p + 1 < npages)
+        def _():
+            for c in dma((p + 1) % 2, p + 1):
+                c.start()
+
+        for c in dma(slot, p):
+            c.wait()
+
+        pos = p * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (g, page_size), 1)
+        s_heads, pv_heads = [], []
+        for hh in range(hkv):
+            k_h = _dequant_head(kbuf[slot, hh], sbuf[slot, 0, hh],
+                                sbuf[slot, 1, hh], bits)       # (D, ps)
+            v_h = _dequant_head(vbuf[slot, hh], sbuf[slot, 2, hh],
+                                sbuf[slot, 3, hh], bits)       # (D, ps)
+            s = jax.lax.dot_general(
+                q[hh], k_h, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (G, ps)
+            s = jnp.where(pos < n, s, _NEG)
+            s_heads.append(s)
+            pv_heads.append(v_h)
+        s = jnp.stack(s_heads)                                 # (Hkv, G, ps)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        corr = jnp.exp(m - m_new)
+        e = jnp.exp(s - m_new[..., None])
+        den = den * corr + jnp.sum(e, axis=-1)
+        pv = jnp.stack([
+            jax.lax.dot_general(
+                e[hh], pv_heads[hh],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)            # (G, D)
+            for hh in range(hkv)
+        ])
+        acc = acc * corr[..., None] + pv
+        return acc, m_new, den
+
+    acc0 = jnp.zeros((hkv, g, d), jnp.float32)
+    m0 = jnp.full((hkv, g), _NEG, jnp.float32)
+    den0 = jnp.zeros((hkv, g), jnp.float32)
+    acc, m, den = jax.lax.fori_loop(0, npages, body, (acc0, m0, den0))
+    out = acc / jnp.maximum(den, 1e-30)[..., None]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
+                           seq_ids: jnp.ndarray, *,
+                           interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Pallas path.  q (B, H, D) -> (B, H, D)."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    b, h, d = q.shape
+    hkv = cache.n_kv_heads
+    g = h // hkv
+    ps = cache.page_size
+    dq = cache.k_codes.shape[2]
+
+    qg = q.reshape(b, hkv, g, d)
+    table = cache.page_table[seq_ids]
+    lengths = cache.lengths[seq_ids]
+
+    kernel = functools.partial(
+        _decode_kernel, bits=cache.bits, page_size=ps, hkv=hkv, g=g, d=d)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=pl.BlockSpec((1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, hkv, dq, ps), jnp.uint8),
+            pltpu.VMEM((2, hkv, dq, ps), jnp.uint8),
+            pltpu.VMEM((2, 4, hkv, ps), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 6)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.bfloat16),
+        interpret=interpret,
+    )(table, lengths, qg, cache.k_codes, cache.v_codes,
+      cache.k_scale, cache.k_zero, cache.v_scale, cache.v_zero)
+    return out.reshape(b, h, d)

@@ -1,0 +1,206 @@
+"""Continuous batching engine.
+
+Host-side slot/page management around the jitted prefill and decode steps
+(runner.py).  Net-new capability per the north star: the reference has no
+serving loop at all (its FlashInfer kernels were bound but orphaned).
+
+Design: fixed max_seqs slots; every decode step runs all slots in one
+program (inactive slots attend over length-0 sequences and write to the
+reserved scratch page 0 — no dynamic shapes, no recompiles).  Prefills are
+admitted between decode steps with length bucketing to bound compile count.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.common import ModelConfig
+from .kv_cache import PagedKVCache, make_cache
+from .runner import decode_step, prefill
+from .sampling import SamplingParams, sample
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: List[int]
+    max_new_tokens: int = 32
+    sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
+    eos_id: Optional[int] = None
+    # filled by the engine
+    output: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: Optional[Request] = None
+    pages: List[int] = dataclasses.field(default_factory=list)
+    pos: int = 0
+
+
+class Engine:
+    def __init__(self, params, cfg: ModelConfig, *, max_seqs: int = 4,
+                 page_size: int = 16, max_pages_per_seq: int = 64,
+                 n_pages: Optional[int] = None, kv_bits: int = 4,
+                 prefill_buckets=(16, 32, 64, 128, 256, 512, 1024, 2048),
+                 seed: int = 0):
+        self.params = params
+        self.cfg = cfg
+        self.max_seqs = max_seqs
+        self.page_size = page_size
+        self.buckets = tuple(sorted(prefill_buckets))
+        n_pages = n_pages or (max_seqs * max_pages_per_seq + 1)
+        self.caches = [
+            make_cache(n_pages, page_size, cfg.num_kv_heads, cfg.head_dim,
+                       max_seqs, max_pages_per_seq, bits=kv_bits)
+            for _ in range(cfg.num_layers)
+        ]
+        self.free_pages = list(range(n_pages - 1, 0, -1))  # page 0 = scratch
+        self.slots = [_Slot() for _ in range(max_seqs)]
+        self.waiting: List[Request] = []
+        self.key = jax.random.PRNGKey(seed)
+        self._prefill = jax.jit(
+            lambda p, c, t, sid, sp, li: prefill(p, cfg, c, t, sid, sp, li))
+        self._decode = jax.jit(
+            lambda p, c, t, sid, pos: decode_step(p, cfg, c, t, sid, pos))
+        # stats
+        self.prefill_tokens = 0
+        self.decode_tokens = 0
+        self.ttft: Dict[int, float] = {}
+        self._t_submit: Dict[int, float] = {}
+
+    # ---------------- host-side page-table management ----------------
+
+    def _ensure_pages(self, slot_id: int, needed_tokens: int) -> None:
+        slot = self.slots[slot_id]
+        need = -(-needed_tokens // self.page_size)
+        while len(slot.pages) < need:
+            if not self.free_pages:
+                raise RuntimeError("KV page pool exhausted")
+            slot.pages.append(self.free_pages.pop())
+        table_row = np.zeros((self.caches[0].max_pages_per_seq,), np.int32)
+        table_row[: len(slot.pages)] = slot.pages
+        row = jnp.asarray(table_row)
+        self.caches = [
+            dataclasses.replace(
+                c, page_table=c.page_table.at[slot_id].set(row))
+            for c in self.caches
+        ]
+
+    def _release(self, slot_id: int) -> None:
+        slot = self.slots[slot_id]
+        self.free_pages.extend(slot.pages)
+        self.slots[slot_id] = _Slot()
+        self.caches = [
+            dataclasses.replace(
+                c,
+                lengths=c.lengths.at[slot_id].set(0),
+                page_table=c.page_table.at[slot_id].set(
+                    jnp.zeros((c.max_pages_per_seq,), jnp.int32)))
+            for c in self.caches
+        ]
+
+    # ---------------- scheduling ----------------
+
+    def submit(self, req: Request) -> None:
+        self.waiting.append(req)
+        self._t_submit[req.req_id] = time.time()
+
+    def _bucket(self, n: int) -> int:
+        for b in self.buckets:
+            if n <= b:
+                return b
+        raise ValueError(f"prompt length {n} exceeds largest bucket")
+
+    def _admit(self) -> None:
+        for slot_id, slot in enumerate(self.slots):
+            if slot.req is not None or not self.waiting:
+                continue
+            req = self.waiting.pop(0)
+            n = len(req.prompt)
+            bucket = self._bucket(n)
+            self._ensure_pages(slot_id, bucket)
+            toks = np.zeros((1, bucket), np.int32)
+            toks[0, :n] = req.prompt
+            logits, self.caches = self._prefill(
+                self.params, self.caches, jnp.asarray(toks),
+                jnp.int32(slot_id), jnp.int32(0), jnp.int32(n - 1))
+            # bucket padding wrote extra KV positions; reset length to n
+            # (they are masked out and later overwritten)
+            self.caches = [
+                dataclasses.replace(c, lengths=c.lengths.at[slot_id].set(n))
+                for c in self.caches
+            ]
+            slot.req = req
+            slot.pos = n
+            self.prefill_tokens += n
+            first = self._sample_from(logits, req)
+            self.ttft.setdefault(
+                req.req_id, time.time() - self._t_submit[req.req_id])
+            self._emit(slot_id, first)
+
+    def _sample_from(self, logits, req: Request):
+        self.key, sub = jax.random.split(self.key)
+        tok = sample(logits, sub, req.sampling)
+        return int(np.asarray(tok).reshape(-1)[0])
+
+    def _emit(self, slot_id: int, token: int) -> None:
+        slot = self.slots[slot_id]
+        req = slot.req
+        req.output.append(token)
+        if (req.eos_id is not None and token == req.eos_id) or \
+                len(req.output) >= req.max_new_tokens:
+            req.done = True
+            self._release(slot_id)
+
+    def step(self) -> bool:
+        """Admit + one decode step.  Returns True while work remains."""
+        self._admit()
+        active = [i for i, s in enumerate(self.slots) if s.req is not None]
+        if not active and not self.waiting:
+            return False
+        if active:
+            tokens = np.zeros((self.max_seqs,), np.int32)
+            positions = np.zeros((self.max_seqs,), np.int32)
+            for i, s in enumerate(self.slots):
+                if s.req is not None:
+                    last = (s.req.output[-1] if s.req.output
+                            else s.req.prompt[-1])
+                    tokens[i] = last
+                    positions[i] = s.pos
+            # inactive slots write to scratch page 0 at position 0
+            logits, self.caches = self._decode(
+                self.params, self.caches, jnp.asarray(tokens),
+                jnp.arange(self.max_seqs, dtype=jnp.int32),
+                jnp.asarray(positions))
+            logits = np.asarray(logits)
+            for i in list(active):
+                s = self.slots[i]
+                if s.req is None:
+                    continue
+                self.key, sub = jax.random.split(self.key)
+                tok = int(np.asarray(sample(
+                    jnp.asarray(logits[i:i + 1]), sub, s.req.sampling))[0])
+                s.pos += 1
+                self._ensure_pages(i, s.pos + 1)
+                self.decode_tokens += 1
+                self.ttft.setdefault(
+                    s.req.req_id,
+                    time.time() - self._t_submit[s.req.req_id])
+                self._emit(i, tok)
+        return True
+
+    def run(self, requests: List[Request]) -> List[Request]:
+        for r in requests:
+            self.submit(r)
+        while self.step():
+            pass
+        return requests

@@ -1,0 +1,180 @@
+"""Quantized paged KV cache (token-minor TPU layout).
+
+TPU equivalent of the FlashInfer paged_kv_t + per-(token, head) {scale,
+zero} parameter cache (flashinfer/page.cuh:19-113, quantization.cuh:58-84),
+re-laid-out for 128-lane vector hardware: **tokens run along the minor
+(lane) axis**:
+
+  * codes: (n_pages, n_kv_heads, dq, page_size) uint8, where dq = D/2 for
+    int4 (head-dim split-plane: low nibble = dim i, high nibble = dim
+    i + D/2) or D for int8.  page_size is a multiple of 128, so every page
+    slice is lane-aligned for DMA and the dequantized (D, page_size) tile
+    feeds the MXU directly as the K^T / V^T operand.
+  * scale/zero: (n_pages, n_kv_heads, page_size) bf16 per (token, head) —
+    asymmetric uint grid over the head_dim group, exactly
+    quantize_int_group's semantics (qLlamaLayer.py:12-23) so the accuracy
+    mode and the serving path share numerics.
+  * page_table: (max_seqs, max_pages_per_seq) int32; lengths: (max_seqs,).
+  * free-page allocation is host-side (engine.py).
+
+All update ops are functional (return a new cache pytree) and jittable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class PagedKVCache:
+    k_codes: jnp.ndarray   # (P, Hkv, dq, ps) uint8
+    v_codes: jnp.ndarray
+    k_scale: jnp.ndarray   # (P, Hkv, ps) bf16
+    k_zero: jnp.ndarray
+    v_scale: jnp.ndarray
+    v_zero: jnp.ndarray
+    page_table: jnp.ndarray  # (S, max_pages) int32
+    lengths: jnp.ndarray     # (S,) int32
+    bits: int = dataclasses.field(default=4, metadata=dict(static=True))
+
+    @property
+    def page_size(self) -> int:
+        return self.k_codes.shape[3]
+
+    @property
+    def head_dim(self) -> int:
+        d = self.k_codes.shape[2]
+        return d * 2 if self.bits == 4 else d
+
+    @property
+    def n_kv_heads(self) -> int:
+        return self.k_codes.shape[1]
+
+    @property
+    def max_pages_per_seq(self) -> int:
+        return self.page_table.shape[1]
+
+
+jax.tree_util.register_dataclass(
+    PagedKVCache,
+    data_fields=["k_codes", "v_codes", "k_scale", "k_zero", "v_scale",
+                 "v_zero", "page_table", "lengths"],
+    meta_fields=["bits"],
+)
+
+
+def make_cache(n_pages: int, page_size: int, n_kv: int, head_dim: int,
+               max_seqs: int, max_pages_per_seq: int,
+               bits: int = 4) -> PagedKVCache:
+    dq = head_dim // 2 if bits == 4 else head_dim
+    z8 = jnp.zeros((n_pages, n_kv, dq, page_size), jnp.uint8)
+    zs = jnp.zeros((n_pages, n_kv, page_size), jnp.bfloat16)
+    return PagedKVCache(
+        k_codes=z8, v_codes=z8, k_scale=zs, k_zero=zs, v_scale=zs, v_zero=zs,
+        page_table=jnp.zeros((max_seqs, max_pages_per_seq), jnp.int32),
+        lengths=jnp.zeros((max_seqs,), jnp.int32), bits=bits)
+
+
+def kv_quantize(x: jnp.ndarray, bits: int) -> Tuple[jnp.ndarray, jnp.ndarray,
+                                                    jnp.ndarray]:
+    """x (..., D) f32/bf16 -> (codes u8 (..., dq), scale (...), zero (...)).
+
+    Asymmetric uint grid over the full head_dim (group = D), round-half-even
+    — identical numerics to quantize_int_group (qLlamaLayer.py:12-23).
+    """
+    xf = x.astype(jnp.float32)
+    gmax = jnp.max(xf, axis=-1, keepdims=True)
+    gmin = jnp.min(xf, axis=-1, keepdims=True)
+    qmax = float(2 ** bits - 1)
+    scale = jnp.maximum(gmax - gmin, 1e-5) / qmax
+    zero = jnp.clip(jnp.round(-gmin / scale), 0.0, qmax)
+    q = jnp.clip(jnp.round(xf / scale) + zero, 0.0, qmax).astype(jnp.uint8)
+    if bits == 4:
+        d = x.shape[-1] // 2
+        q = q[..., :d] | (q[..., d:] << 4)
+    return q, scale[..., 0].astype(jnp.bfloat16), \
+        zero[..., 0].astype(jnp.bfloat16)
+
+
+def kv_dequantize_page(codes: jnp.ndarray, scale: jnp.ndarray,
+                       zero: jnp.ndarray, bits: int,
+                       dtype=jnp.float32) -> jnp.ndarray:
+    """Token-minor pages: codes (..., dq, ps) -> values (..., D, ps)."""
+    if bits == 4:
+        lo = (codes & 0xF).astype(jnp.int32)
+        hi = ((codes >> 4) & 0xF).astype(jnp.int32)
+        q = jnp.concatenate([lo, hi], axis=-2)
+    else:
+        q = codes.astype(jnp.int32)
+    return ((q.astype(jnp.float32) - zero.astype(jnp.float32)[..., None, :])
+            * scale.astype(jnp.float32)[..., None, :]).astype(dtype)
+
+
+def _flat_slot_index(cache: PagedKVCache, seq_ids: jnp.ndarray,
+                     positions: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    page_idx = positions // cache.page_size
+    offset = positions % cache.page_size
+    page_id = cache.page_table[seq_ids, page_idx]
+    return page_id, offset
+
+
+def append_kv(cache: PagedKVCache, seq_ids: jnp.ndarray, positions: jnp.ndarray,
+              k: jnp.ndarray, v: jnp.ndarray) -> PagedKVCache:
+    """Write T new tokens.  seq_ids/positions (T,), k/v (T, Hkv, D).
+
+    Covers both prefill append and single-token decode append
+    (page.cuh:120-293 AppendPagedKVCache{Prefill,Decode}).  The page table
+    rows for these positions must already be populated (engine allocates
+    pages host-side).  Updates lengths to positions+1 max per sequence.
+    """
+    kq, ks, kz = kv_quantize(k, cache.bits)   # (T, Hkv, dq), (T, Hkv)
+    vq, vs, vz = kv_quantize(v, cache.bits)
+    page_id, off = _flat_slot_index(cache, seq_ids, positions)
+    # scatter one lane column per token: index pattern (page, :, :, off)
+    new = dataclasses.replace(
+        cache,
+        k_codes=cache.k_codes.at[page_id, :, :, off].set(kq),
+        v_codes=cache.v_codes.at[page_id, :, :, off].set(vq),
+        k_scale=cache.k_scale.at[page_id, :, off].set(ks),
+        k_zero=cache.k_zero.at[page_id, :, off].set(kz),
+        v_scale=cache.v_scale.at[page_id, :, off].set(vs),
+        v_zero=cache.v_zero.at[page_id, :, off].set(vz),
+    )
+    lengths = cache.lengths.at[seq_ids].max(positions + 1)
+    return dataclasses.replace(new, lengths=lengths)
+
+
+def gather_kv(cache: PagedKVCache, seq_id, max_len: int,
+              dtype=jnp.bfloat16) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Dequantize one sequence's KV to dense (max_len, Hkv, D) (test path)."""
+    ps = cache.page_size
+    n_pages = max_len // ps
+    pages = cache.page_table[seq_id, :n_pages]
+    k = kv_dequantize_page(cache.k_codes[pages], cache.k_scale[pages],
+                           cache.k_zero[pages], cache.bits, dtype)
+    v = kv_dequantize_page(cache.v_codes[pages], cache.v_scale[pages],
+                           cache.v_zero[pages], cache.bits, dtype)
+    # (n_pages, Hkv, D, ps) -> (n_pages * ps, Hkv, D)
+    k = k.transpose(0, 3, 1, 2).reshape(n_pages * ps, cache.n_kv_heads,
+                                        cache.head_dim)
+    v = v.transpose(0, 3, 1, 2).reshape(n_pages * ps, cache.n_kv_heads,
+                                        cache.head_dim)
+    return k, v
+
+
+# Backwards-compatible dense dequant for (..., dq) code layouts (tests).
+def kv_dequantize(codes: jnp.ndarray, scale: jnp.ndarray, zero: jnp.ndarray,
+                  bits: int, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """codes (..., dq) token-major -> (..., D)."""
+    if bits == 4:
+        lo = (codes & 0xF).astype(jnp.int32)
+        hi = ((codes >> 4) & 0xF).astype(jnp.int32)
+        q = jnp.concatenate([lo, hi], axis=-1)
+    else:
+        q = codes.astype(jnp.int32)
+    return ((q.astype(jnp.float32) - zero.astype(jnp.float32)[..., None])
+            * scale.astype(jnp.float32)[..., None]).astype(dtype)

@@ -1,0 +1,136 @@
+"""Cache-aware model execution: prefill and batched decode steps.
+
+The serving-side forward (the reference never wired its FlashInfer path
+into the model; this is that missing e2e driver, done TPU-first):
+
+  * prefill: full-sequence causal forward; K/V quantized and appended to
+    the paged cache as a side effect; returns last-position logits
+  * decode_step: one token for every active slot in one jitted program —
+    quantized matmuls at M=batch, rope at per-slot positions, paged
+    quantized-KV flash attention (serve/attention.py)
+
+Both work on dense (bf16) and quantized parameter pytrees.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.common import (
+    ModelConfig,
+    QuantLinear,
+    apply_rope,
+    attention,
+    causal_mask,
+    project_all,
+    rmsnorm,
+    rope_table,
+)
+from ..ops.quantize_ops import silu_mul_quantize_x
+from .attention import paged_decode_attention
+from .kv_cache import PagedKVCache, append_kv
+
+Params = Dict[str, Any]
+Caches = List[PagedKVCache]
+
+
+def _qkv(h, p, cfg):
+    b, s, _ = h.shape
+    q, k, v = project_all(h, p.get("attn_site"), [p["q"], p["k"], p["v"]],
+                          p["ln1"], cfg.rms_eps)
+    return (q.reshape(b, s, cfg.num_heads, cfg.head_dim),
+            k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
+            v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim))
+
+
+def _mlp(h, p, cfg):
+    from ..models.transformer import mlp_block, moe_block
+    return moe_block(h, p, cfg) if cfg.is_moe else mlp_block(h, p, cfg)
+
+
+def _o_proj(attn_out, p):
+    (o,) = project_all(attn_out, p.get("o_site"), [p["o"]])
+    return o
+
+
+def prefill(params: Params, cfg: ModelConfig, caches: Caches,
+            tokens: jnp.ndarray, seq_id: jnp.ndarray,
+            start_pos: jnp.ndarray,
+            last_idx: Optional[jnp.ndarray] = None
+            ) -> Tuple[jnp.ndarray, Caches]:
+    """tokens (1, S) -> (logits at ``last_idx`` (1, V), updated caches).
+
+    Appends the new K/V (quantized) for positions [start_pos, start_pos+S).
+    ``last_idx`` selects the true last prompt position when tokens are
+    right-padded to a length bucket (defaults to S-1).
+    """
+    b, s = tokens.shape
+    assert b == 1
+    h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    positions = start_pos + jnp.arange(s)
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    mask = causal_mask(s, s, cfg.sliding_window)
+    new_caches = []
+    seq_ids = jnp.full((s,), seq_id, jnp.int32)
+    for p, cache in zip(params["layers"], caches):
+        q, k, v = _qkv(h, p, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = append_kv(cache, seq_ids, positions, k[0], v[0])
+        new_caches.append(cache)
+        out = attention(q, k, v, mask).reshape(b, s, -1)
+        h = h + _o_proj(out, p)
+        h = h + _mlp(h, p, cfg)
+    if last_idx is None:
+        last_idx = jnp.int32(s - 1)
+    h_last = jax.lax.dynamic_slice_in_dim(h, last_idx, 1, axis=1)
+    h_last = rmsnorm(h_last[:, 0], params["final_ln"], cfg.rms_eps)
+    logits = jnp.dot(h_last, params["lm_head"].T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return logits, new_caches
+
+
+def decode_step(params: Params, cfg: ModelConfig, caches: Caches,
+                tokens: jnp.ndarray, seq_ids: jnp.ndarray,
+                positions: jnp.ndarray) -> Tuple[jnp.ndarray, Caches]:
+    """tokens (B,) -> (logits (B, V), updated caches).  One step, B slots."""
+    b = tokens.shape[0]
+    h = jnp.take(params["embed"], tokens, axis=0)[:, None, :].astype(
+        jnp.bfloat16)
+    cos = jnp.cos(_rope_angles(positions, cfg))
+    sin = jnp.sin(_rope_angles(positions, cfg))
+    new_caches = []
+    for p, cache in zip(params["layers"], caches):
+        q, k, v = _qkv(h, p, cfg)                       # (B,1,H,D)
+        q = _rope1(q[:, 0], cos, sin)[:, None]
+        k = _rope1(k[:, 0], cos, sin)[:, None]
+        cache = append_kv(cache, seq_ids, positions, k[:, 0], v[:, 0])
+        new_caches.append(cache)
+        out = paged_decode_attention(q[:, 0], cache, seq_ids)
+        out = out.reshape(b, 1, cfg.num_heads * cfg.head_dim)
+        h = h + _o_proj(out, p)
+        h = h + _mlp(h, p, cfg)
+    h = rmsnorm(h[:, 0], params["final_ln"], cfg.rms_eps)
+    logits = jnp.dot(h, params["lm_head"].T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return logits, new_caches
+
+
+def _rope_angles(positions: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    inv = 1.0 / (cfg.rope_theta ** (
+        jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))
+    freqs = positions.astype(jnp.float32)[:, None] * inv[None, :]
+    return jnp.concatenate([freqs, freqs], axis=-1)      # (B, D)
+
+
+def _rope1(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x (B, H, D) with per-batch angle tables (B, D)."""
+    half = x.shape[-1] // 2
+    x1, x2 = x[..., :half], x[..., half:]
+    rot = jnp.concatenate([-x2, x1], axis=-1)
+    return (x.astype(jnp.float32) * cos[:, None, :]
+            + rot.astype(jnp.float32) * sin[:, None, :]).astype(x.dtype)

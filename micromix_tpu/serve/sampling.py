@@ -1,0 +1,40 @@
+"""Token sampling: greedy / temperature / top-k / top-p (nucleus).
+
+Net-new vs the reference (it inherits HF generation; serving needs an
+in-graph sampler).  Fully jittable: one fused op over (B, vocab) logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    temperature: float = 0.0   # 0 -> greedy
+    top_k: int = 0             # 0 -> disabled
+    top_p: float = 1.0         # 1 -> disabled
+
+
+def sample(logits: jnp.ndarray, key: jax.Array,
+           params: SamplingParams = SamplingParams()) -> jnp.ndarray:
+    """logits (B, V) -> token ids (B,) int32."""
+    if params.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    x = logits.astype(jnp.float32) / params.temperature
+    if params.top_k and params.top_k > 0:
+        kth = jax.lax.top_k(x, params.top_k)[0][..., -1:]
+        x = jnp.where(x < kth, -jnp.inf, x)
+    if params.top_p < 1.0:
+        sorted_x = jnp.sort(x, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(sorted_x, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative prob >= top_p; keep at least 1
+        cutoff_idx = jnp.sum(cum < params.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_x, cutoff_idx, axis=-1)
+        x = jnp.where(x < cutoff, -jnp.inf, x)
+    return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)

@@ -1,0 +1,114 @@
+"""Continuous-batching engine: correctness vs the full-forward reference."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from micromix_tpu.models import (
+    ModelConfig,
+    forward,
+    random_dense_params,
+)
+from micromix_tpu.serve import Engine, Request
+from micromix_tpu.serve.sampling import SamplingParams, sample
+
+
+def _cfg(**kw):
+    base = dict(
+        arch="llama", vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=64,
+        rope_theta=10000.0, rms_eps=1e-6,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def test_engine_first_token_matches_forward(rng):
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=20)
+    prompt = list(rng.integers(0, cfg.vocab_size, 12))
+    eng = Engine(params, cfg, max_seqs=2, page_size=16,
+                 max_pages_per_seq=8, prefill_buckets=(16, 32))
+    req = Request(req_id=0, prompt=prompt, max_new_tokens=1)
+    eng.run([req])
+    # prefill attention is unquantized -> first token == plain forward argmax
+    logits = forward(params, cfg, jnp.asarray([prompt], jnp.int32))
+    want = int(jnp.argmax(logits[0, len(prompt) - 1]))
+    assert req.output == [want]
+
+
+def test_engine_decode_matches_kv_fakequant_forward(rng):
+    """Decode-step logits over the int4 paged cache must match the
+    accuracy-mode forward (kv_quant_bits=4) on the same token history —
+    same quantization semantics, so only f32 accumulation-order noise
+    remains (greedy tokens can still flip on a random model whose top
+    logits are clustered, hence the logit-level comparison)."""
+    import dataclasses
+    from micromix_tpu.serve.kv_cache import make_cache
+    from micromix_tpu.serve.runner import decode_step, prefill
+
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=21)
+    prompt = list(rng.integers(0, cfg.vocab_size, 10))
+
+    caches = [make_cache(17, 16, cfg.num_kv_heads, cfg.head_dim, 2, 8,
+                         bits=4) for _ in range(cfg.num_layers)]
+    row = jnp.asarray([1, 2, 0, 0, 0, 0, 0, 0], jnp.int32)
+    caches = [dataclasses.replace(c, page_table=c.page_table.at[0].set(row))
+              for c in caches]
+    toks = np.zeros((1, 16), np.int32)
+    toks[0, :10] = prompt
+    logits, caches = prefill(params, cfg, caches, jnp.asarray(toks),
+                             jnp.int32(0), jnp.int32(0), jnp.int32(9))
+    caches = [dataclasses.replace(c, lengths=c.lengths.at[0].set(10))
+              for c in caches]
+    t0 = int(jnp.argmax(logits[0]))
+
+    lg, caches = decode_step(params, cfg, caches,
+                             jnp.asarray([t0], jnp.int32),
+                             jnp.asarray([0], jnp.int32),
+                             jnp.asarray([10], jnp.int32))
+    ref = forward(params, cfg, jnp.asarray([prompt + [t0]], jnp.int32),
+                  kv_quant_bits=4)
+    a = np.asarray(lg[0], np.float32)
+    b = np.asarray(ref[0, -1], np.float32)
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+    np.testing.assert_allclose(a, b, atol=0.15, rtol=0.1)
+
+
+def test_engine_multi_request_interleaving(rng):
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=22)
+    eng = Engine(params, cfg, max_seqs=2, page_size=16,
+                 max_pages_per_seq=8, prefill_buckets=(16,))
+    reqs = [
+        Request(req_id=i, prompt=list(rng.integers(0, cfg.vocab_size,
+                                                   6 + 3 * i)),
+                max_new_tokens=3 + i)
+        for i in range(4)  # more requests than slots -> queueing
+    ]
+    eng.run(reqs)
+    for r in reqs:
+        assert r.done and len(r.output) == r.max_new_tokens
+        assert all(0 <= t < cfg.vocab_size for t in r.output)
+    assert eng.decode_tokens > 0 and eng.prefill_tokens == sum(
+        len(r.prompt) for r in reqs)
+    assert len(eng.free_pages) == len(set(eng.free_pages))
+    # all pages returned after completion
+    assert all(s.req is None for s in eng.slots)
+
+
+def test_sampling_modes(rng):
+    logits = jnp.asarray(rng.normal(0, 3, (2, 64)), jnp.float32)
+    key = jax.random.PRNGKey(0)
+    greedy = sample(logits, key, SamplingParams(temperature=0.0))
+    np.testing.assert_array_equal(np.asarray(greedy),
+                                  np.asarray(jnp.argmax(logits, -1)))
+    topk = sample(logits, key, SamplingParams(temperature=1.0, top_k=5))
+    top5 = np.argsort(np.asarray(logits), axis=-1)[:, -5:]
+    for i in range(2):
+        assert int(topk[i]) in top5[i]
+    topp = sample(logits, key, SamplingParams(temperature=1.0, top_p=0.5))
+    assert topp.shape == (2,)

@@ -1,0 +1,97 @@
+"""Quantized paged KV cache + decode attention (XLA ref vs Pallas kernel)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from micromix_tpu.serve.attention import (
+    paged_decode_attention,
+    paged_decode_attention_xla,
+)
+from micromix_tpu.serve.kv_cache import (
+    append_kv,
+    gather_kv,
+    kv_dequantize,
+    kv_quantize,
+    make_cache,
+)
+from micromix_tpu.models.common import quantize_int_group
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_kv_quantize_matches_fake_quant(rng, bits):
+    x = jnp.asarray(rng.normal(0, 1, (6, 2, 128)), jnp.float32)
+    codes, scale, zero = kv_quantize(x, bits)
+    dq = kv_dequantize(codes, scale, zero, bits, dtype=jnp.float32)
+    want = quantize_int_group(x, bits, group_size=128)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+
+
+def _build_cache(rng, bits=4, b=3, hkv=2, d=128, ps=16, lens=(10, 32, 47)):
+    mp = 4
+    cache = make_cache(n_pages=b * mp + 1, page_size=ps, n_kv=hkv,
+                       head_dim=d, max_seqs=b, max_pages_per_seq=mp,
+                       bits=bits)
+    # allocate pages: seq i gets pages [i*mp+1, ...] (page 0 kept as dummy)
+    table = np.zeros((b, mp), np.int32)
+    for i in range(b):
+        table[i] = np.arange(mp) + i * mp + 1
+    cache = cache.__class__(**{**cache.__dict__,
+                               "page_table": jnp.asarray(table)})
+    kvs = []
+    for i, n in enumerate(lens):
+        k = rng.normal(0, 1, (n, hkv, d)).astype(np.float32)
+        v = rng.normal(0, 1, (n, hkv, d)).astype(np.float32)
+        kvs.append((k, v))
+        cache = append_kv(cache, jnp.full((n,), i, jnp.int32),
+                          jnp.arange(n, dtype=jnp.int32),
+                          jnp.asarray(k), jnp.asarray(v))
+    return cache, kvs
+
+
+def test_append_and_gather_roundtrip(rng):
+    cache, kvs = _build_cache(rng)
+    assert cache.lengths.tolist() == [10, 32, 47]
+    k0, v0 = gather_kv(cache, 0, 16)
+    want = quantize_int_group(jnp.asarray(kvs[0][0]), 4, 128)
+    np.testing.assert_allclose(np.asarray(k0[:10], np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_xla_decode_attention_vs_dense(rng, bits):
+    """The paged XLA path must equal plain softmax attention over the
+    (fake-quantized) KV."""
+    cache, kvs = _build_cache(rng, bits=bits)
+    b, hkv, d = 3, 2, 128
+    h = 8
+    q = jnp.asarray(rng.normal(0, 1, (b, h, d)), jnp.float32)
+    out = paged_decode_attention_xla(q.astype(jnp.bfloat16), cache,
+                                     jnp.arange(b))
+    for i, (k, v) in enumerate(kvs):
+        kq = np.asarray(quantize_int_group(jnp.asarray(k), bits, d))
+        vq = np.asarray(quantize_int_group(jnp.asarray(v), bits, d))
+        g = h // hkv
+        qv = np.asarray(q[i]).reshape(hkv, g, d)
+        s = np.einsum("kgd,tkd->kgt", qv, kq) / np.sqrt(d)
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        o = np.einsum("kgt,tkd->kgd", p, vq).reshape(h, d)
+        np.testing.assert_allclose(np.asarray(out[i], np.float32), o,
+                                   rtol=5e-2, atol=5e-2)
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_pallas_decode_attention_matches_xla(rng, bits):
+    cache, _ = _build_cache(rng, bits=bits)
+    b, h, d = 3, 8, 128
+    q = jnp.asarray(rng.normal(0, 1, (b, h, d)), jnp.bfloat16)
+    want = paged_decode_attention_xla(q, cache, jnp.arange(b))
+    got = paged_decode_attention(q, cache, jnp.arange(b), interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=2e-2, atol=2e-2)
