@@ -110,11 +110,33 @@ def _pad_rows(x, rows: int):
     return jnp.pad(x, ((0, rows - x.shape[0]), (0, 0)))
 
 
+# Above this M the matmul is MXU-bound, so the per-M-tile redundant weight
+# decode inside the fused kernel costs more than one dequant-to-bf16 pass
+# through HBM; below it the fused kernel wins (weights stream packed, 4x
+# less HBM traffic in the memory-bound decode regime).
+PREFILL_DEQUANT_THRESHOLD = 512
+
+
+def _mixed_matmul_dense(a: MixedTensor, w: MixedTensor, out_dtype):
+    """Prefill path: one-shot dequant to bf16 + XLA MXU matmul.
+
+    Numerically identical to the fused kernel: every MX grid value times a
+    power-of-two scale is exactly bf16-representable, and both paths
+    accumulate in f32.
+    """
+    from ..mx.mxtensor import dequantize_mixed
+    ad = dequantize_mixed(a, dtype=_BF16)
+    wd = dequantize_mixed(w, dtype=_BF16)
+    return jnp.dot(ad, wd.T, preferred_element_type=_F32).astype(out_dtype)
+
+
 def mixed_matmul(a: MixedTensor, w: MixedTensor, *,
                  out_dtype=_BF16,
                  bm: Optional[int] = None,
                  bn: Optional[int] = None,
-                 interpret: Optional[bool] = None) -> jnp.ndarray:
+                 interpret: Optional[bool] = None,
+                 prefill_threshold: int = PREFILL_DEQUANT_THRESHOLD
+                 ) -> jnp.ndarray:
     """Y = dq(A) @ dq(W)^T via one fused Pallas kernel.
 
     A: activations (M, K), fp4 segment unpacked.
@@ -123,6 +145,8 @@ def mixed_matmul(a: MixedTensor, w: MixedTensor, *,
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if a.rows >= prefill_threshold:
+        return _mixed_matmul_dense(a, w, out_dtype)
     assert a.segments() == w.segments(), (a.segments(), w.segments())
     assert not a.fp4_packed and (w.fp4_packed or w.k4 == 0)
     k4, k6, k8 = a.segments()
