@@ -77,10 +77,33 @@ def make_site(calib: SiteCalibration, k: int) -> QuantSite:
 def quantize_linear(w: jnp.ndarray, calib: SiteCalibration,
                     bias: Optional[jnp.ndarray] = None, *,
                     weight_fp4_only: bool = True,
-                    row_perm: Optional[np.ndarray] = None) -> QuantLinear:
-    """w (N, K) dense -> QuantLinear (input channels permuted + quantized)."""
+                    row_perm: Optional[np.ndarray] = None,
+                    host: bool = False) -> QuantLinear:
+    """w (N, K) dense -> QuantLinear (input channels permuted + quantized).
+
+    host=True quantizes on the CPU via the native mxpack library (bit-
+    identical; preferred for multi-GB checkpoints so the f32 weights never
+    touch device HBM).
+    """
     n, k = w.shape
     k4, k6, k8 = calib.splits(k)
+    if host:
+        from ..mx.mxtensor import MixedTensor
+        from ..utils.native import quantize_mixed_host
+        wp = np.asarray(w, np.float32)[:, np.asarray(calib.reorder_index)]
+        if row_perm is not None:
+            wp = wp[np.asarray(row_perm)]
+            if bias is not None:
+                bias = jnp.take(bias, jnp.asarray(row_perm, jnp.int32), axis=0)
+        segs = quantize_mixed_host(wp, k4, k6, k8,
+                                   weight_fp4_only=weight_fp4_only)
+        wq = MixedTensor(
+            fp4=jnp.asarray(segs["fp4"]), fp6=jnp.asarray(segs["fp6"]),
+            fp8=jnp.asarray(segs["fp8"]), sf4=jnp.asarray(segs["sf4"]),
+            sf6=jnp.asarray(segs["sf6"]), sf8=jnp.asarray(segs["sf8"]),
+            fp4_packed=bool(k4), fp4_only=weight_fp4_only)
+        return QuantLinear(
+            w=wq, bias=None if bias is None else bias.astype(jnp.bfloat16))
     wp = jnp.take(w.astype(jnp.float32),
                   jnp.asarray(calib.reorder_index, dtype=jnp.int32), axis=1)
     if row_perm is not None:
@@ -102,7 +125,8 @@ def _down_row_perm(calib: SiteCalibration, k: int) -> np.ndarray:
 
 def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
                    calib: LayerCalib, *,
-                   weight_fp4_only: bool = True) -> Dict[str, Any]:
+                   weight_fp4_only: bool = True,
+                   host: bool = False) -> Dict[str, Any]:
     """One dense decoder-layer param dict -> quantized param dict."""
     out: Dict[str, Any] = {"ln1": p["ln1"], "ln2": p["ln2"]}
     hid = cfg.hidden_size
@@ -112,12 +136,12 @@ def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
     for name in ("q", "k", "v"):
         lin: DenseLinear = p[name]
         out[name] = quantize_linear(lin.w, c_attn, lin.bias,
-                                    weight_fp4_only=weight_fp4_only)
+                                    weight_fp4_only=weight_fp4_only, host=host)
 
     c_o = calib[O_IN]
     out["o_site"] = make_site(c_o, cfg.num_heads * cfg.head_dim)
     out["o"] = quantize_linear(p["o"].w, c_o, p["o"].bias,
-                               weight_fp4_only=weight_fp4_only)
+                               weight_fp4_only=weight_fp4_only, host=host)
 
     if cfg.is_moe:
         out["router"] = p["router"]  # stays bf16 (qMixtralLayer.py:385)
@@ -131,12 +155,12 @@ def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
                 "site_down": QuantSite(*c_dn.splits(cfg.intermediate_size)),
                 "w1": quantize_linear(ep["w1"].w, c_in, ep["w1"].bias,
                                       weight_fp4_only=weight_fp4_only,
-                                      row_perm=rp),
+                                      row_perm=rp, host=host),
                 "w3": quantize_linear(ep["w3"].w, c_in, ep["w3"].bias,
                                       weight_fp4_only=weight_fp4_only,
-                                      row_perm=rp),
+                                      row_perm=rp, host=host),
                 "w2": quantize_linear(ep["w2"].w, c_dn, ep["w2"].bias,
-                                      weight_fp4_only=weight_fp4_only),
+                                      weight_fp4_only=weight_fp4_only, host=host),
             })
         out["experts"] = experts
     else:
@@ -147,18 +171,19 @@ def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
         rp = _down_row_perm(c_dn, cfg.intermediate_size)
         out["gate"] = quantize_linear(p["gate"].w, c_mlp, p["gate"].bias,
                                       weight_fp4_only=weight_fp4_only,
-                                      row_perm=rp)
+                                      row_perm=rp, host=host)
         out["up"] = quantize_linear(p["up"].w, c_mlp, p["up"].bias,
                                     weight_fp4_only=weight_fp4_only,
-                                    row_perm=rp)
+                                    row_perm=rp, host=host)
         out["down"] = quantize_linear(p["down"].w, c_dn, p["down"].bias,
-                                      weight_fp4_only=weight_fp4_only)
+                                      weight_fp4_only=weight_fp4_only, host=host)
     return out
 
 
 def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
                    calibs: List[LayerCalib], *,
-                   weight_fp4_only: bool = True) -> Dict[str, Any]:
+                   weight_fp4_only: bool = True,
+                   host: bool = False) -> Dict[str, Any]:
     """Dense model pytree -> quantized pytree (embed / norms / head stay bf16,
     as in the reference which only swaps nn.Linear inside decoder layers)."""
     assert len(calibs) == cfg.num_layers
@@ -167,7 +192,7 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
         "final_ln": params["final_ln"],
         "lm_head": params["lm_head"],
         "layers": [
-            quantize_layer(p, cfg, c, weight_fp4_only=weight_fp4_only)
+            quantize_layer(p, cfg, c, weight_fp4_only=weight_fp4_only, host=host)
             for p, c in zip(params["layers"], calibs)
         ],
     }
