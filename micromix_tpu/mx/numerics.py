@@ -91,7 +91,10 @@ def encode(q, fmt: FormatInfo):
     normal_mant = ((abits >> (23 - fmt.mant_bits)).astype(_U32)) & _U32(mant_mask)
     normal_exp = (e - fmt.emin + 1).astype(_U32)
     # Subnormal: value = m * 2**(emin - mant_bits); recover integer m exactly.
-    sub_mant = (aq * exp2i(jnp.full_like(e, fmt.mant_bits - fmt.emin))).astype(_U32)
+    # via int32: Mosaic has no float32 -> uint32 cast (exact: small non-neg ints)
+    sub_mant = (
+        aq * exp2i(jnp.full_like(e, fmt.mant_bits - fmt.emin))
+    ).astype(_I32).astype(_U32)
     is_sub = aq < _F32(2.0**fmt.emin)
     exp_field = jnp.where(is_sub, _U32(0), normal_exp)
     mant_field = jnp.where(is_sub, sub_mant, normal_mant)
