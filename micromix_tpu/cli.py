@@ -47,23 +47,50 @@ def cmd_calibrate(args) -> None:
     print(f"saved -> {args.output}")
 
 
-def cmd_eval(args) -> None:
-    import numpy as np
+def _quantize(params, cfg, args):
     from .calib import load_calibration, smooth_params
-    from .eval.datasets import get_loaders
-    from .eval.ppl import eval_ppl
     from .models.surgery import quantize_model
 
-    cfg, params = _load_model(args)
-    tok = _tokenizer(args)
+    calibs, absmax = load_calibration(args.calibration)
+    if args.smooth and absmax:
+        stats = {k: {"absmax": v} for k, v in absmax.items()}
+        params = smooth_params(params, cfg, stats, alpha=args.alpha)
+    return quantize_model(params, cfg, calibs,
+                          weight_fp4_only=not args.symmetric_weights)
 
-    if args.do_quant:
-        calibs, absmax = load_calibration(args.calibration)
-        if args.smooth and absmax:
-            stats = {k: {"absmax": v} for k, v in absmax.items()}
-            params = smooth_params(params, cfg, stats, alpha=args.alpha)
-        params = quantize_model(params, cfg, calibs,
-                                weight_fp4_only=not args.symmetric_weights)
+
+def cmd_quantize(args) -> None:
+    """Bake smoothing + reorder + MX packing once; persist the result.
+
+    The reference re-runs model surgery at every startup
+    (model/model_utils.py:24-46); this writes the packed pytree so serving
+    starts are a deserialize, not a re-quantize.
+    """
+    from .models.checkpoint import save_params
+
+    cfg, params = _load_model(args)
+    params = _quantize(params, cfg, args)
+    save_params(args.output, params, cfg,
+                meta={"source": args.model,
+                      "calibration": args.calibration,
+                      "symmetric_weights": args.symmetric_weights})
+    print(f"quantized checkpoint -> {args.output}")
+
+
+def cmd_eval(args) -> None:
+    import numpy as np
+    from .eval.datasets import get_loaders
+    from .eval.ppl import eval_ppl
+
+    if getattr(args, "quantized_ckpt", None):
+        from .models.checkpoint import load_params
+        params, cfg, _ = load_params(args.quantized_ckpt)
+        assert cfg is not None, "checkpoint has no ModelConfig"
+    else:
+        cfg, params = _load_model(args)
+        if args.do_quant:
+            params = _quantize(params, cfg, args)
+    tok = _tokenizer(args)
 
     results = {}
     if args.eval_ppl:
@@ -106,8 +133,21 @@ def main(argv=None) -> None:
     c.add_argument("--output", default="saved/calibration.npz")
     c.set_defaults(fn=cmd_calibrate)
 
+    q = sub.add_parser("quantize",
+                       help="bake + persist a quantized checkpoint")
+    q.add_argument("--model", required=True, help="local HF checkpoint dir")
+    q.add_argument("--calibration", default="saved/calibration.npz")
+    q.add_argument("--smooth", action="store_true", default=True)
+    q.add_argument("--no-smooth", dest="smooth", action="store_false")
+    q.add_argument("--alpha", type=float, default=0.5)
+    q.add_argument("--symmetric-weights", action="store_true")
+    q.add_argument("--output", default="saved/quantized")
+    q.set_defaults(fn=cmd_quantize)
+
     e = sub.add_parser("eval", help="perplexity / lm-eval tasks")
     e.add_argument("--model", required=True)
+    e.add_argument("--quantized-ckpt", default=None,
+                   help="load a baked quantized checkpoint (skips surgery)")
     e.add_argument("--do-quant", action="store_true")
     e.add_argument("--calibration", default="saved/calibration.npz")
     e.add_argument("--smooth", action="store_true", default=True)

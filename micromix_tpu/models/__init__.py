@@ -20,6 +20,7 @@ from .surgery import (
     quantize_model,
     random_dense_params,
 )
+from .checkpoint import load_params, save_params
 from .transformer import forward
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "default_calibration", "quantize_linear", "quantize_model",
     "random_dense_params",
     "ATTN_IN", "O_IN", "MLP_IN", "DOWN_IN",
+    "save_params", "load_params",
 ]
