@@ -1,0 +1,132 @@
+"""Pallas TPU flash attention for prefill (causal, GQA, sliding window).
+
+The reference runs prefill attention through stock HF SDPA
+(model/qLlamaLayer.py:297-304) — an (S, S) score materialization.  This is
+the TPU-native splash-style replacement (SURVEY.md §7.2 step 6): blockwise
+online-softmax attention that never materializes the score matrix, with
+
+  * grid (batch·heads, S/BQ); each program owns one (BQ, D) query tile
+  * the K/V stream for the owning kv head resident in VMEM, walked in
+    BK-wide tiles with the flash max/denominator recurrence in f32
+  * causal block skipping: program iq only loops over k-tiles up to its own
+    diagonal, and a sliding window additionally raises the loop floor —
+    fully-masked tiles are never touched
+  * GQA by block-index mapping (query head h reads kv head h // group), no
+    jnp.repeat materialization of K/V
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+_NEG = -1e30
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, bq: int, bk: int,
+                  window: Optional[int], scale: float):
+    iq = pl.program_id(1)
+    q = q_ref[0].astype(jnp.float32) * scale            # (BQ, D)
+    d = q.shape[-1]
+
+    row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+
+    # causal upper bound: k-tiles whose start <= last row of this q-tile
+    hi = (iq * bq + bq - 1) // bk + 1
+    if window is None:
+        lo = 0
+    else:
+        lo = jnp.maximum((iq * bq - window + 1) // bk, 0)
+
+    def body(jk, carry):
+        acc, m, den = carry
+        k = k_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)  # (BK, D)
+        v = v_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (BQ, BK)
+        col = jk * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        allow = col <= row
+        if window is not None:
+            allow = jnp.logical_and(allow, col > row - window)
+        s = jnp.where(allow, s, _NEG)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        corr = jnp.exp(m - m_new)
+        e = jnp.exp(s - m_new[:, None])
+        den = den * corr + jnp.sum(e, axis=-1)
+        pv = jax.lax.dot_general(
+            e, v, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                  # (BQ, D)
+        acc = acc * corr[:, None] + pv
+        return acc, m_new, den
+
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+    m0 = jnp.full((bq,), _NEG, jnp.float32)
+    den0 = jnp.zeros((bq,), jnp.float32)
+    acc, m, den = jax.lax.fori_loop(lo, hi, body, (acc0, m0, den0))
+    out = acc / jnp.maximum(den, 1e-30)[:, None]
+    out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _pick_block(s: int) -> int:
+    for b in (512, 256, 128, 64, 32, 16, 8):
+        if s % b == 0:
+            return min(b, s)
+    return s
+
+
+def flash_attention_hsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                        sliding_window: Optional[int] = None,
+                        block_q: Optional[int] = None,
+                        block_k: Optional[int] = None,
+                        interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Core kernel.  q (H, S, D), k/v (Hkv, S, D) -> (H, S, D).  Causal."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    h, s, d = q.shape
+    hkv = k.shape[0]
+    g = h // hkv
+    bq = block_q or _pick_block(s)
+    bk = block_k or bq
+    assert s % bq == 0 and s % bk == 0, (s, bq, bk)
+
+    kernel = functools.partial(
+        _flash_kernel, bq=bq, bk=bk, window=sliding_window,
+        scale=1.0 / (d ** 0.5))
+
+    return pl.pallas_call(
+        kernel,
+        grid=(h, s // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda hh, iq: (hh, iq, 0)),
+            pl.BlockSpec((1, s, d), lambda hh, iq: (hh // g, 0, 0)),
+            pl.BlockSpec((1, s, d), lambda hh, iq: (hh // g, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, d), lambda hh, iq: (hh, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, s, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                    sliding_window: Optional[int] = None,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Causal flash attention in the model zoo's layout.
+
+    q (B, S, H, D), k/v (B, S, Hkv, D) -> (B, S, H, D); drop-in for the
+    masked XLA path (models/common.py attention) during prefill.
+    """
+    def one(q1, k1, v1):
+        return flash_attention_hsd(
+            q1.transpose(1, 0, 2), k1.transpose(1, 0, 2),
+            v1.transpose(1, 0, 2), sliding_window=sliding_window,
+            interpret=interpret).transpose(1, 0, 2)
+
+    return jax.vmap(one)(q, k, v)
+
+
+__all__ = ["flash_attention", "flash_attention_hsd"]

@@ -36,9 +36,16 @@ def _is_quant(lin) -> bool:
     return isinstance(lin, QuantLinear)
 
 
+def _use_flash(flag: Optional[bool]) -> bool:
+    """None = auto: Pallas flash prefill on TPU, XLA attention on CPU."""
+    if flag is None:
+        return jax.default_backend() != "cpu"
+    return flag
+
+
 def attention_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
                     cos, sin, mask, kv_quant_bits: Optional[int],
-                    tap=None) -> jnp.ndarray:
+                    tap=None, use_flash: Optional[bool] = None) -> jnp.ndarray:
     b, s, _ = h.shape
     hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
     if tap is not None:  # dense calibration path: expose the site inputs
@@ -57,7 +64,12 @@ def attention_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
         # int-group KV fake quant (qLlamaLayer.py:288-290 accuracy mode)
         k = quantize_int_group(k, kv_quant_bits, group_size=hd)
         v = quantize_int_group(v, kv_quant_bits, group_size=hd)
-    out = attention(q, k, v, mask).reshape(b, s, nh * hd)
+    if _use_flash(use_flash):
+        from ..kernels.flash_attention import flash_attention
+        out = flash_attention(q, k, v, sliding_window=cfg.sliding_window)
+    else:
+        out = attention(q, k, v, mask)
+    out = out.reshape(b, s, nh * hd)
     if tap is not None:
         tap("o_in", out)
         return p["o"](out)
@@ -136,8 +148,10 @@ def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
 
 
 def decoder_layer(h: jnp.ndarray, p: Params, cfg: ModelConfig, cos, sin,
-                  mask, kv_quant_bits: Optional[int], tap=None) -> jnp.ndarray:
-    h = h + attention_block(h, p, cfg, cos, sin, mask, kv_quant_bits, tap)
+                  mask, kv_quant_bits: Optional[int], tap=None,
+                  use_flash: Optional[bool] = None) -> jnp.ndarray:
+    h = h + attention_block(h, p, cfg, cos, sin, mask, kv_quant_bits, tap,
+                            use_flash)
     if cfg.is_moe:
         h = h + moe_block(h, p, cfg, tap)
     else:
@@ -146,7 +160,8 @@ def decoder_layer(h: jnp.ndarray, p: Params, cfg: ModelConfig, cos, sin,
 
 
 def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray, *,
-            kv_quant_bits: Optional[int] = None, tap=None) -> jnp.ndarray:
+            kv_quant_bits: Optional[int] = None, tap=None,
+            use_flash: Optional[bool] = None) -> jnp.ndarray:
     """tokens (B, S) int32 -> logits (B, S, vocab) f32.  Full-sequence
     causal forward (the perplexity-evaluation path, model/eval.py:13-87).
 
@@ -163,7 +178,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray, *,
         if tap is not None:
             layer_tap = (lambda idx: lambda name, x, m=None:
                          tap(idx, name, x, m))(i)
-        h = decoder_layer(h, p, cfg, cos, sin, mask, kv_quant_bits, layer_tap)
+        h = decoder_layer(h, p, cfg, cos, sin, mask, kv_quant_bits, layer_tap,
+                          use_flash)
     h = rmsnorm(h, params["final_ln"], cfg.rms_eps)
     logits = jnp.dot(h, params["lm_head"].T.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)
