@@ -52,8 +52,8 @@ def main(argv=None) -> None:
         default_calibration(cfg, p6=128, p8=128, seed=0))
 
     rng = np.random.default_rng(0)
-    eng = Engine(params, cfg, max_seqs=args.batch, page_size=16,
-                 prefill_buckets=(16, 32))
+    eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
+                 max_pages_per_seq=8, prefill_buckets=(16, 32))
     reqs = [
         Request(req_id=i,
                 prompt=list(rng.integers(0, cfg.vocab_size, 12)),

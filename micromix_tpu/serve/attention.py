@@ -9,7 +9,8 @@ INT4 dequant and flash-style online softmax
   * pages are token-minor (Hkv, dq, page_size) — every DMA slice and every
     dequantized tile is 128-lane aligned, and the dequantized (D, ps) tile
     is exactly the K^T operand the MXU wants (no transposes anywhere)
-  * each page is DMA'd HBM->VMEM double-buffered, dequantized on the VPU,
+  * each page is DMA'd HBM->VMEM double-buffered (4 DMAs per page: codes
+    for K and V, fused scale+zero for K and V), dequantized on the VPU,
     and folded into a running (Hkv, G, D) f32 accumulator with the online
     max/denominator recurrence; all GQA query heads of one kv head are
     processed as one matmul
@@ -41,10 +42,10 @@ def paged_decode_attention_xla(q: jnp.ndarray, cache: PagedKVCache,
     g = h // hkv
     mp, ps = cache.max_pages_per_seq, cache.page_size
     pages = cache.page_table[seq_ids]                      # (B, MP)
-    k = kv_dequantize_page(cache.k_codes[pages], cache.k_scale[pages],
-                           cache.k_zero[pages], cache.bits)  # (B,MP,Hkv,D,ps)
-    v = kv_dequantize_page(cache.v_codes[pages], cache.v_scale[pages],
-                           cache.v_zero[pages], cache.bits)
+    k = kv_dequantize_page(cache.k_codes[pages], cache.k_sz[pages],
+                           cache.bits)                     # (B,MP,Hkv,D,ps)
+    v = kv_dequantize_page(cache.v_codes[pages], cache.v_sz[pages],
+                           cache.bits)
     t = mp * ps
     # -> (B, T, Hkv, D)
     k = k.transpose(0, 1, 4, 2, 3).reshape(b, t, hkv, d)
@@ -59,8 +60,8 @@ def paged_decode_attention_xla(q: jnp.ndarray, cache: PagedKVCache,
     return out.reshape(b, h, d).astype(jnp.bfloat16)
 
 
-def _dequant_head(codes, scale, zero, bits):
-    """codes (dq, ps) u8, scale/zero (ps,) -> f32 (D, ps)."""
+def _dequant_head(codes, sz, bits):
+    """codes (dq, ps) u8, sz (2, ps) [scale, zero] -> f32 (D, ps)."""
     if bits == 4:
         c = codes.astype(jnp.uint32)
         lo = (c & 0xF).astype(jnp.int32)
@@ -68,16 +69,17 @@ def _dequant_head(codes, scale, zero, bits):
         qv = jnp.concatenate([lo, hi], axis=0)
     else:
         qv = codes.astype(jnp.int32)
-    return ((qv.astype(jnp.float32) - zero.astype(jnp.float32)[None, :])
-            * scale.astype(jnp.float32)[None, :])
+    scale = sz[0:1, :].astype(jnp.float32)
+    zero = sz[1:2, :].astype(jnp.float32)
+    return (qv.astype(jnp.float32) - zero) * scale
 
 
 def _decode_kernel(
     page_tbl, lengths,           # scalar prefetch (SMEM)
     q_ref,                       # (1, Hkv, G, D) VMEM
-    kc, vc, ks, kz, vs, vz,      # full cache arrays (ANY/HBM)
+    kc, vc, ksz, vsz,            # full cache arrays (ANY/HBM)
     out_ref,                     # (1, Hkv, G, D) VMEM
-    kbuf, vbuf, sbuf, sem,       # scratch
+    kbuf, vbuf, kszb, vszb, sem,  # scratch (double-buffered)
     *, bits: int, page_size: int, hkv: int, g: int, d: int,
 ):
     b = pl.program_id(0)
@@ -91,10 +93,10 @@ def _decode_kernel(
         return [
             pltpu.make_async_copy(kc.at[pid], kbuf.at[slot], sem.at[slot, 0]),
             pltpu.make_async_copy(vc.at[pid], vbuf.at[slot], sem.at[slot, 1]),
-            pltpu.make_async_copy(ks.at[pid], sbuf.at[slot, 0], sem.at[slot, 2]),
-            pltpu.make_async_copy(kz.at[pid], sbuf.at[slot, 1], sem.at[slot, 3]),
-            pltpu.make_async_copy(vs.at[pid], sbuf.at[slot, 2], sem.at[slot, 4]),
-            pltpu.make_async_copy(vz.at[pid], sbuf.at[slot, 3], sem.at[slot, 5]),
+            pltpu.make_async_copy(ksz.at[pid], kszb.at[slot],
+                                  sem.at[slot, 2]),
+            pltpu.make_async_copy(vsz.at[pid], vszb.at[slot],
+                                  sem.at[slot, 3]),
         ]
 
     @pl.when(npages > 0)
@@ -118,10 +120,8 @@ def _decode_kernel(
             jnp.int32, (g, page_size), 1)
         s_heads, pv_heads = [], []
         for hh in range(hkv):
-            k_h = _dequant_head(kbuf[slot, hh], sbuf[slot, 0, hh],
-                                sbuf[slot, 1, hh], bits)       # (D, ps)
-            v_h = _dequant_head(vbuf[slot, hh], sbuf[slot, 2, hh],
-                                sbuf[slot, 3, hh], bits)       # (D, ps)
+            k_h = _dequant_head(kbuf[slot, hh], kszb[slot, hh], bits)  # (D,ps)
+            v_h = _dequant_head(vbuf[slot, hh], vszb[slot, hh], bits)  # (D,ps)
             s = jax.lax.dot_general(
                 q[hh], k_h, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # (G, ps)
@@ -161,6 +161,11 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
     hkv = cache.n_kv_heads
     g = h // hkv
     ps = cache.page_size
+    if not interpret and ps % 128 != 0:
+        raise ValueError(
+            f"page_size={ps}: Mosaic lane tiling needs page_size % 128 == 0 "
+            "on TPU (tokens are the lane axis of page arrays); use "
+            "page_size=128 or run in interpreter mode")
     dq = cache.k_codes.shape[2]
 
     qg = q.reshape(b, hkv, g, d)
@@ -176,14 +181,15 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
         in_specs=[
             pl.BlockSpec((1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec((1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, hkv, dq, ps), jnp.uint8),
             pltpu.VMEM((2, hkv, dq, ps), jnp.uint8),
-            pltpu.VMEM((2, 4, hkv, ps), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((2, 6)),
+            pltpu.VMEM((2, hkv, 2, ps), jnp.bfloat16),
+            pltpu.VMEM((2, hkv, 2, ps), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
 
@@ -193,5 +199,5 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.bfloat16),
         interpret=interpret,
     )(table, lengths, qg, cache.k_codes, cache.v_codes,
-      cache.k_scale, cache.k_zero, cache.v_scale, cache.v_zero)
+      cache.k_sz, cache.v_sz)
     return out.reshape(b, h, d)

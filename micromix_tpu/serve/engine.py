@@ -22,9 +22,10 @@ import jax
 import jax.numpy as jnp
 
 from ..models.common import ModelConfig
+from .block_manager import BlockManager
 from .kv_cache import PagedKVCache, make_cache
 from .runner import decode_step, prefill
-from .sampling import SamplingParams, sample
+from .sampling import SamplingParams, sample_batch
 
 
 @dataclasses.dataclass
@@ -42,13 +43,12 @@ class Request:
 @dataclasses.dataclass
 class _Slot:
     req: Optional[Request] = None
-    pages: List[int] = dataclasses.field(default_factory=list)
     pos: int = 0
 
 
 class Engine:
     def __init__(self, params, cfg: ModelConfig, *, max_seqs: int = 4,
-                 page_size: int = 16, max_pages_per_seq: int = 64,
+                 page_size: int = 128, max_pages_per_seq: int = 64,
                  n_pages: Optional[int] = None, kv_bits: int = 4,
                  prefill_buckets=(16, 32, 64, 128, 256, 512, 1024, 2048),
                  seed: int = 0):
@@ -63,14 +63,23 @@ class Engine:
                        max_seqs, max_pages_per_seq, bits=kv_bits)
             for _ in range(cfg.num_layers)
         ]
-        self.free_pages = list(range(n_pages - 1, 0, -1))  # page 0 = scratch
+        # host-side page bookkeeping: native C++ pool when available
+        # (native/kvpool.cpp), Python fallback otherwise; page 0 = scratch
+        self.block_manager = BlockManager(n_pages, page_size, max_seqs,
+                                          max_pages_per_seq)
         self.slots = [_Slot() for _ in range(max_seqs)]
         self.waiting: List[Request] = []
-        self.key = jax.random.PRNGKey(seed)
+        self._base_key = jax.random.PRNGKey(seed)
+        self._sample_step = 0
         self._prefill = jax.jit(
             lambda p, c, t, sid, sp, li: prefill(p, cfg, c, t, sid, sp, li))
         self._decode = jax.jit(
             lambda p, c, t, sid, pos: decode_step(p, cfg, c, t, sid, pos))
+        # one jitted dispatch samples every slot (heterogeneous params);
+        # per-slot eager sampling costs a tunnel RPC per op on axon
+        self._sampler = jax.jit(
+            lambda lg, key, step, t, k, tp: sample_batch(
+                lg, jax.random.fold_in(key, step), t, k, tp))
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0
@@ -80,15 +89,11 @@ class Engine:
     # ---------------- host-side page-table management ----------------
 
     def _ensure_pages(self, slot_id: int, needed_tokens: int) -> None:
-        slot = self.slots[slot_id]
-        need = -(-needed_tokens // self.page_size)
-        while len(slot.pages) < need:
-            if not self.free_pages:
-                raise RuntimeError("KV page pool exhausted")
-            slot.pages.append(self.free_pages.pop())
-        table_row = np.zeros((self.caches[0].max_pages_per_seq,), np.int32)
-        table_row[: len(slot.pages)] = slot.pages
-        row = jnp.asarray(table_row)
+        before = self.block_manager.num_pages(slot_id)
+        row_np = self.block_manager.ensure(slot_id, needed_tokens)
+        if self.block_manager.num_pages(slot_id) == before:
+            return  # table unchanged; skip the device update
+        row = jnp.asarray(row_np)
         self.caches = [
             dataclasses.replace(
                 c, page_table=c.page_table.at[slot_id].set(row))
@@ -96,8 +101,7 @@ class Engine:
         ]
 
     def _release(self, slot_id: int) -> None:
-        slot = self.slots[slot_id]
-        self.free_pages.extend(slot.pages)
+        self.block_manager.release(slot_id)
         self.slots[slot_id] = _Slot()
         self.caches = [
             dataclasses.replace(
@@ -147,10 +151,24 @@ class Engine:
                 req.req_id, time.time() - self._t_submit[req.req_id])
             self._emit(slot_id, first)
 
+    def _sample_rows(self, logits, reqs: List[Optional[Request]]) -> np.ndarray:
+        """One batched sampler dispatch for len(reqs) rows (None = greedy)."""
+        t = np.zeros((len(reqs),), np.float32)
+        k = np.zeros((len(reqs),), np.int32)
+        p = np.ones((len(reqs),), np.float32)
+        for i, r in enumerate(reqs):
+            if r is not None:
+                t[i] = r.sampling.temperature
+                k[i] = r.sampling.top_k
+                p[i] = r.sampling.top_p
+        self._sample_step += 1
+        toks = self._sampler(logits, self._base_key,
+                             jnp.int32(self._sample_step), jnp.asarray(t),
+                             jnp.asarray(k), jnp.asarray(p))
+        return np.asarray(toks)
+
     def _sample_from(self, logits, req: Request):
-        self.key, sub = jax.random.split(self.key)
-        tok = sample(logits, sub, req.sampling)
-        return int(np.asarray(tok).reshape(-1)[0])
+        return int(self._sample_rows(logits, [req])[0])
 
     def _emit(self, slot_id: int, token: int) -> None:
         slot = self.slots[slot_id]
@@ -181,21 +199,19 @@ class Engine:
                 self.params, self.caches, jnp.asarray(tokens),
                 jnp.arange(self.max_seqs, dtype=jnp.int32),
                 jnp.asarray(positions))
-            logits = np.asarray(logits)
+            toks = self._sample_rows(logits,
+                                     [s.req for s in self.slots])
             for i in list(active):
                 s = self.slots[i]
                 if s.req is None:
                     continue
-                self.key, sub = jax.random.split(self.key)
-                tok = int(np.asarray(sample(
-                    jnp.asarray(logits[i:i + 1]), sub, s.req.sampling))[0])
                 s.pos += 1
                 self._ensure_pages(i, s.pos + 1)
                 self.decode_tokens += 1
                 self.ttft.setdefault(
                     s.req.req_id,
                     time.time() - self._t_submit[s.req.req_id])
-                self._emit(i, tok)
+                self._emit(i, int(toks[i]))
         return True
 
     def run(self, requests: List[Request]) -> List[Request]:

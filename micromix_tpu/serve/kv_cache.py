@@ -10,12 +10,15 @@ re-laid-out for 128-lane vector hardware: **tokens run along the minor
     i + D/2) or D for int8.  page_size is a multiple of 128, so every page
     slice is lane-aligned for DMA and the dequantized (D, page_size) tile
     feeds the MXU directly as the K^T / V^T operand.
-  * scale/zero: (n_pages, n_kv_heads, page_size) bf16 per (token, head) —
-    asymmetric uint grid over the head_dim group, exactly
-    quantize_int_group's semantics (qLlamaLayer.py:12-23) so the accuracy
-    mode and the serving path share numerics.
+  * scale+zero: (n_pages, n_kv_heads, 2, page_size) bf16 per (token, head)
+    — index 0 = scale, 1 = zero, asymmetric uint grid over the head_dim
+    group, exactly quantize_int_group's semantics (qLlamaLayer.py:12-23) so
+    the accuracy mode and the serving path share numerics.  Scale and zero
+    share one array so the trailing (2, page_size) tile is always aligned
+    to Mosaic's bf16 (2, 128) tiling regardless of n_kv_heads — and each
+    page costs one DMA instead of two.
   * page_table: (max_seqs, max_pages_per_seq) int32; lengths: (max_seqs,).
-  * free-page allocation is host-side (engine.py).
+  * free-page allocation is host-side (engine.py / native kvpool).
 
 All update ops are functional (return a new cache pytree) and jittable.
 """
@@ -33,10 +36,8 @@ import jax.numpy as jnp
 class PagedKVCache:
     k_codes: jnp.ndarray   # (P, Hkv, dq, ps) uint8
     v_codes: jnp.ndarray
-    k_scale: jnp.ndarray   # (P, Hkv, ps) bf16
-    k_zero: jnp.ndarray
-    v_scale: jnp.ndarray
-    v_zero: jnp.ndarray
+    k_sz: jnp.ndarray      # (P, Hkv, 2, ps) bf16: [scale, zero]
+    v_sz: jnp.ndarray
     page_table: jnp.ndarray  # (S, max_pages) int32
     lengths: jnp.ndarray     # (S,) int32
     bits: int = dataclasses.field(default=4, metadata=dict(static=True))
@@ -61,8 +62,8 @@ class PagedKVCache:
 
 jax.tree_util.register_dataclass(
     PagedKVCache,
-    data_fields=["k_codes", "v_codes", "k_scale", "k_zero", "v_scale",
-                 "v_zero", "page_table", "lengths"],
+    data_fields=["k_codes", "v_codes", "k_sz", "v_sz", "page_table",
+                 "lengths"],
     meta_fields=["bits"],
 )
 
@@ -70,11 +71,16 @@ jax.tree_util.register_dataclass(
 def make_cache(n_pages: int, page_size: int, n_kv: int, head_dim: int,
                max_seqs: int, max_pages_per_seq: int,
                bits: int = 4) -> PagedKVCache:
+    """Tokens are the LANE (minor) axis of every page array, so the Pallas
+    decode kernel's page DMAs and dequant tiles are lane-contiguous.  On
+    real TPU hardware that requires page_size % 128 == 0 (Mosaic lane
+    tiling); smaller pages work in interpreter mode / tests only.
+    """
     dq = head_dim // 2 if bits == 4 else head_dim
     z8 = jnp.zeros((n_pages, n_kv, dq, page_size), jnp.uint8)
-    zs = jnp.zeros((n_pages, n_kv, page_size), jnp.bfloat16)
+    zs = jnp.zeros((n_pages, n_kv, 2, page_size), jnp.bfloat16)
     return PagedKVCache(
-        k_codes=z8, v_codes=z8, k_scale=zs, k_zero=zs, v_scale=zs, v_zero=zs,
+        k_codes=z8, v_codes=z8, k_sz=zs, v_sz=zs,
         page_table=jnp.zeros((max_seqs, max_pages_per_seq), jnp.int32),
         lengths=jnp.zeros((max_seqs,), jnp.int32), bits=bits)
 
@@ -100,18 +106,19 @@ def kv_quantize(x: jnp.ndarray, bits: int) -> Tuple[jnp.ndarray, jnp.ndarray,
         zero[..., 0].astype(jnp.bfloat16)
 
 
-def kv_dequantize_page(codes: jnp.ndarray, scale: jnp.ndarray,
-                       zero: jnp.ndarray, bits: int,
+def kv_dequantize_page(codes: jnp.ndarray, sz: jnp.ndarray, bits: int,
                        dtype=jnp.float32) -> jnp.ndarray:
-    """Token-minor pages: codes (..., dq, ps) -> values (..., D, ps)."""
+    """Token-minor pages: codes (..., dq, ps) + sz (..., 2, ps)
+    -> values (..., D, ps)."""
     if bits == 4:
         lo = (codes & 0xF).astype(jnp.int32)
         hi = ((codes >> 4) & 0xF).astype(jnp.int32)
         q = jnp.concatenate([lo, hi], axis=-2)
     else:
         q = codes.astype(jnp.int32)
-    return ((q.astype(jnp.float32) - zero.astype(jnp.float32)[..., None, :])
-            * scale.astype(jnp.float32)[..., None, :]).astype(dtype)
+    scale = sz[..., 0:1, :].astype(jnp.float32)
+    zero = sz[..., 1:2, :].astype(jnp.float32)
+    return ((q.astype(jnp.float32) - zero) * scale).astype(dtype)
 
 
 def _flat_slot_index(cache: PagedKVCache, seq_ids: jnp.ndarray,
@@ -139,10 +146,10 @@ def append_kv(cache: PagedKVCache, seq_ids: jnp.ndarray, positions: jnp.ndarray,
         cache,
         k_codes=cache.k_codes.at[page_id, :, :, off].set(kq),
         v_codes=cache.v_codes.at[page_id, :, :, off].set(vq),
-        k_scale=cache.k_scale.at[page_id, :, off].set(ks),
-        k_zero=cache.k_zero.at[page_id, :, off].set(kz),
-        v_scale=cache.v_scale.at[page_id, :, off].set(vs),
-        v_zero=cache.v_zero.at[page_id, :, off].set(vz),
+        k_sz=cache.k_sz.at[page_id, :, :, off].set(
+            jnp.stack([ks, kz], axis=-1)),
+        v_sz=cache.v_sz.at[page_id, :, :, off].set(
+            jnp.stack([vs, vz], axis=-1)),
     )
     lengths = cache.lengths.at[seq_ids].max(positions + 1)
     return dataclasses.replace(new, lengths=lengths)
@@ -154,10 +161,10 @@ def gather_kv(cache: PagedKVCache, seq_id, max_len: int,
     ps = cache.page_size
     n_pages = max_len // ps
     pages = cache.page_table[seq_id, :n_pages]
-    k = kv_dequantize_page(cache.k_codes[pages], cache.k_scale[pages],
-                           cache.k_zero[pages], cache.bits, dtype)
-    v = kv_dequantize_page(cache.v_codes[pages], cache.v_scale[pages],
-                           cache.v_zero[pages], cache.bits, dtype)
+    k = kv_dequantize_page(cache.k_codes[pages], cache.k_sz[pages],
+                           cache.bits, dtype)
+    v = kv_dequantize_page(cache.v_codes[pages], cache.v_sz[pages],
+                           cache.bits, dtype)
     # (n_pages, Hkv, D, ps) -> (n_pages * ps, Hkv, D)
     k = k.transpose(0, 3, 1, 2).reshape(n_pages * ps, cache.n_kv_heads,
                                         cache.head_dim)

@@ -82,7 +82,13 @@ def prefill(params: Params, cfg: ModelConfig, caches: Caches,
         k = apply_rope(k, cos, sin)
         cache = append_kv(cache, seq_ids, positions, k[0], v[0])
         new_caches.append(cache)
-        out = attention(q, k, v, mask).reshape(b, s, -1)
+        if jax.default_backend() != "cpu":
+            from ..kernels.flash_attention import flash_attention
+            out = flash_attention(q, k, v,
+                                  sliding_window=cfg.sliding_window)
+        else:
+            out = attention(q, k, v, mask)
+        out = out.reshape(b, s, -1)
         h = h + _o_proj(out, p)
         h = h + _mlp(h, p, cfg)
     if last_idx is None:

@@ -38,3 +38,34 @@ def sample(logits: jnp.ndarray, key: jax.Array,
         cutoff = jnp.take_along_axis(sorted_x, cutoff_idx, axis=-1)
         x = jnp.where(x < cutoff, -jnp.inf, x)
     return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
+
+
+def sample_batch(logits: jnp.ndarray, key: jax.Array,
+                 temperature: jnp.ndarray, top_k: jnp.ndarray,
+                 top_p: jnp.ndarray) -> jnp.ndarray:
+    """Heterogeneous per-row sampling in ONE program.
+
+    logits (B, V); temperature/top_k/top_p (B,) arrays (top_k<=0 and
+    top_p>=1 disable the respective filter; temperature<=0 -> greedy).
+    One jitted dispatch per engine step regardless of batch size — per-slot
+    eager sampling costs a tunnel round-trip per op on the axon backend.
+    """
+    x = logits.astype(jnp.float32)
+    b, v = x.shape
+    order = jnp.argsort(x, axis=-1)[:, ::-1]            # descending
+    sx = jnp.take_along_axis(x, order, axis=-1)
+    rank = jnp.arange(v)[None, :]
+    # top-k: keep ranks < k (k<=0 -> keep all)
+    k_arr = jnp.where(top_k > 0, top_k, v)[:, None]
+    keep = rank < k_arr
+    # top-p over the temperature-scaled distribution
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    probs = jax.nn.softmax(sx / t, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    cutoff = jnp.sum(cum < top_p[:, None], axis=-1, keepdims=True)
+    keep = jnp.logical_and(keep, rank <= cutoff)
+    masked = jnp.where(keep, sx / t, -jnp.inf)
+    drawn_sorted = jax.random.categorical(key, masked, axis=-1)
+    drawn = jnp.take_along_axis(order, drawn_sorted[:, None], axis=-1)[:, 0]
+    greedy = order[:, 0]
+    return jnp.where(temperature <= 0.0, greedy, drawn).astype(jnp.int32)

@@ -95,8 +95,8 @@ def test_engine_multi_request_interleaving(rng):
         assert all(0 <= t < cfg.vocab_size for t in r.output)
     assert eng.decode_tokens > 0 and eng.prefill_tokens == sum(
         len(r.prompt) for r in reqs)
-    assert len(eng.free_pages) == len(set(eng.free_pages))
     # all pages returned after completion
+    assert eng.block_manager.num_free == eng.block_manager.n_pages - 1
     assert all(s.req is None for s in eng.slots)
 
 
