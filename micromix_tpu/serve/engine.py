@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..models.common import ModelConfig
 from .block_manager import BlockManager
 from .kv_cache import PagedKVCache, make_cache
-from .runner import decode_step, prefill
+from .runner import decode_multi, decode_step, prefill
 from .sampling import SamplingParams, sample_batch
 
 
@@ -51,7 +51,7 @@ class Engine:
                  page_size: int = 128, max_pages_per_seq: int = 64,
                  n_pages: Optional[int] = None, kv_bits: int = 4,
                  prefill_buckets=(16, 32, 64, 128, 256, 512, 1024, 2048),
-                 seed: int = 0):
+                 decode_chunk: int = 8, seed: int = 0):
         self.params = params
         self.cfg = cfg
         self.max_seqs = max_seqs
@@ -80,6 +80,12 @@ class Engine:
         self._sampler = jax.jit(
             lambda lg, key, step, t, k, tp: sample_batch(
                 lg, jax.random.fold_in(key, step), t, k, tp))
+        # chunked decode: decode_chunk decode+sample steps per dispatch
+        self.decode_chunk = max(1, decode_chunk)
+        self._decode_multi = jax.jit(
+            lambda p, c, t, sid, pos, key, step, tt, kk, tp: decode_multi(
+                p, cfg, c, t, sid, pos, jax.random.fold_in(key, step),
+                tt, kk, tp, n_steps=self.decode_chunk))
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0
@@ -180,38 +186,60 @@ class Engine:
             self._release(slot_id)
 
     def step(self) -> bool:
-        """Admit + one decode step.  Returns True while work remains."""
+        """Admit + one decode chunk.  Returns True while work remains."""
         self._admit()
         active = [i for i, s in enumerate(self.slots) if s.req is not None]
         if not active and not self.waiting:
             return False
-        if active:
-            tokens = np.zeros((self.max_seqs,), np.int32)
-            positions = np.zeros((self.max_seqs,), np.int32)
-            for i, s in enumerate(self.slots):
-                if s.req is not None:
-                    last = (s.req.output[-1] if s.req.output
-                            else s.req.prompt[-1])
-                    tokens[i] = last
-                    positions[i] = s.pos
-            # inactive slots write to scratch page 0 at position 0
+        if not active:
+            return True
+        chunk = self.decode_chunk
+        tokens = np.zeros((self.max_seqs,), np.int32)
+        positions = np.zeros((self.max_seqs,), np.int32)
+        for i, s in enumerate(self.slots):
+            if s.req is not None:
+                last = (s.req.output[-1] if s.req.output
+                        else s.req.prompt[-1])
+                tokens[i] = last
+                positions[i] = s.pos
+                # pages for the whole chunk up front (writes happen in-graph)
+                self._ensure_pages(i, s.pos + chunk + 1)
+        # inactive slots write to scratch page 0 at positions 0..chunk-1
+        if chunk == 1:
             logits, self.caches = self._decode(
                 self.params, self.caches, jnp.asarray(tokens),
                 jnp.arange(self.max_seqs, dtype=jnp.int32),
                 jnp.asarray(positions))
             toks = self._sample_rows(logits,
-                                     [s.req for s in self.slots])
-            for i in list(active):
+                                     [s.req for s in self.slots])[None, :]
+        else:
+            t = np.zeros((self.max_seqs,), np.float32)
+            k = np.zeros((self.max_seqs,), np.int32)
+            p = np.ones((self.max_seqs,), np.float32)
+            for i, s in enumerate(self.slots):
+                if s.req is not None:
+                    t[i] = s.req.sampling.temperature
+                    k[i] = s.req.sampling.top_k
+                    p[i] = s.req.sampling.top_p
+            self._sample_step += 1
+            toks_dev, self.caches = self._decode_multi(
+                self.params, self.caches, jnp.asarray(tokens),
+                jnp.arange(self.max_seqs, dtype=jnp.int32),
+                jnp.asarray(positions), self._base_key,
+                jnp.int32(self._sample_step), jnp.asarray(t),
+                jnp.asarray(k), jnp.asarray(p))
+            toks = np.asarray(toks_dev)                  # (chunk, B)
+        for j in range(toks.shape[0]):
+            for i in active:
                 s = self.slots[i]
                 if s.req is None:
                     continue
                 s.pos += 1
-                self._ensure_pages(i, s.pos + 1)
                 self.decode_tokens += 1
                 self.ttft.setdefault(
                     s.req.req_id,
                     time.time() - self._t_submit[s.req.req_id])
-                self._emit(i, int(toks[i]))
+                self._emit(i, int(toks[j, i]))
         return True
 
     def run(self, requests: List[Request]) -> List[Request]:

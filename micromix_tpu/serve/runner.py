@@ -126,6 +126,38 @@ def decode_step(params: Params, cfg: ModelConfig, caches: Caches,
     return logits, new_caches
 
 
+def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
+                 tokens: jnp.ndarray, seq_ids: jnp.ndarray,
+                 positions: jnp.ndarray, key: jax.Array,
+                 temps: jnp.ndarray, top_k: jnp.ndarray,
+                 top_p: jnp.ndarray, *, n_steps: int
+                 ) -> Tuple[jnp.ndarray, Caches]:
+    """``n_steps`` decode+sample steps in ONE program (lax.scan).
+
+    Amortizes host dispatch over a chunk of steps — on the axon tunnel a
+    dispatch+fetch costs ~35 ms while one decode step is ~9 ms of device
+    time, so chunking is a ~4x decode-throughput lever.  The engine
+    pre-allocates KV pages for pos+n_steps and truncates emitted tokens
+    host-side at eos/max_new_tokens (up to n_steps-1 speculative steps of
+    waste per finishing sequence).
+
+    Returns (sampled tokens (n_steps, B) int32, updated caches).
+    """
+    from .sampling import sample_batch
+
+    def step(carry, i):
+        caches, toks, pos = carry
+        logits, caches = decode_step(params, cfg, caches, toks, seq_ids, pos)
+        nxt = sample_batch(logits, jax.random.fold_in(key, i),
+                           temps, top_k, top_p)
+        return (caches, nxt, pos + 1), nxt
+
+    (caches, _, _), out = jax.lax.scan(
+        step, (caches, tokens, positions),
+        jnp.arange(n_steps, dtype=jnp.int32))
+    return out, caches
+
+
 def _rope_angles(positions: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     inv = 1.0 / (cfg.rope_theta ** (
         jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))

@@ -112,3 +112,21 @@ def test_sampling_modes(rng):
         assert int(topk[i]) in top5[i]
     topp = sample(logits, key, SamplingParams(temperature=1.0, top_p=0.5))
     assert topp.shape == (2,)
+
+
+def test_chunked_decode_matches_single_step(rng):
+    """Greedy generation is identical for decode_chunk=1 and chunk=4."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=7)
+    prompts = [list(rng.integers(0, cfg.vocab_size, n)) for n in (5, 9)]
+
+    def gen(chunk):
+        eng = Engine(params, cfg, max_seqs=2, page_size=16,
+                     max_pages_per_seq=8, prefill_buckets=(16,),
+                     decode_chunk=chunk)
+        reqs = [Request(req_id=i, prompt=p, max_new_tokens=6)
+                for i, p in enumerate(prompts)]
+        eng.run(reqs)
+        return [r.output for r in reqs]
+
+    assert gen(1) == gen(4)
