@@ -22,10 +22,11 @@ from jax.sharding import Mesh
 
 
 def make_mesh(data: int = 1, model: int = 1, expert: int = 1,
-              devices: Optional[Sequence] = None) -> Mesh:
+              seq: int = 1, devices: Optional[Sequence] = None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
-    n = data * model * expert
+    n = data * model * expert * seq
     assert len(devices) >= n, (len(devices), n)
-    # last axis fastest-varying -> "model" neighbours are adjacent devices
-    arr = np.array(devices[:n]).reshape(data, expert, model)
-    return Mesh(arr, ("data", "expert", "model"))
+    # last axis fastest-varying -> "model" neighbours are adjacent devices;
+    # "seq" (one all-gather per layer) sits next-innermost
+    arr = np.array(devices[:n]).reshape(data, expert, seq, model)
+    return Mesh(arr, ("data", "expert", "seq", "model"))

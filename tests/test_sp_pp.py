@@ -1,0 +1,78 @@
+"""Sequence-parallel and pipeline-parallel forwards vs single-device forward.
+
+Runs on the 8-virtual-CPU-device mesh (conftest.py).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from micromix_tpu.models import (
+    ModelConfig, default_calibration, forward, quantize_model,
+    random_dense_params)
+from micromix_tpu.parallel import (
+    make_mesh, make_pp_mesh, pipeline_parallel_forward,
+    sequence_parallel_forward)
+
+
+def _cfg(**kw):
+    base = dict(arch="llama", vocab_size=128, hidden_size=128,
+                intermediate_size=256, num_layers=4, num_heads=4,
+                num_kv_heads=2, head_dim=32, rope_theta=10000.0,
+                rms_eps=1e-6)
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _tokens(rng, b, s, v):
+    return jnp.asarray(rng.integers(0, v, (b, s)), jnp.int32)
+
+
+def test_sp_dense_matches_forward(rng):
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=0)
+    tokens = _tokens(rng, 2, 32, cfg.vocab_size)
+    mesh = make_mesh(seq=4, devices=jax.devices()[:4])
+    ref = forward(params, cfg, tokens)
+    out = sequence_parallel_forward(params, cfg, tokens, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_sp_quantized_matches_forward(rng):
+    cfg = _cfg(num_layers=2)
+    params = quantize_model(random_dense_params(cfg, seed=1), cfg,
+                            default_calibration(cfg, p6=32, p8=32, seed=1))
+    tokens = _tokens(rng, 1, 32, cfg.vocab_size)
+    mesh = make_mesh(seq=2, devices=jax.devices()[:2])
+    ref = forward(params, cfg, tokens)
+    out = sequence_parallel_forward(params, cfg, tokens, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=3e-2)
+
+
+def test_pp_dense_matches_forward(rng):
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=2)
+    tokens = _tokens(rng, 4, 16, cfg.vocab_size)
+    mesh = make_pp_mesh(4, devices=jax.devices()[:4])
+    ref = forward(params, cfg, tokens)
+    out = pipeline_parallel_forward(params, cfg, tokens, mesh, n_micro=2,
+                                    use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pp_quantized_matches_forward(rng):
+    cfg = _cfg(num_layers=2)
+    params = quantize_model(random_dense_params(cfg, seed=3), cfg,
+                            default_calibration(cfg, p6=32, p8=32, seed=3))
+    tokens = _tokens(rng, 2, 16, cfg.vocab_size)
+    mesh = make_pp_mesh(2, devices=jax.devices()[:2])
+    ref = forward(params, cfg, tokens)
+    out = pipeline_parallel_forward(params, cfg, tokens, mesh, n_micro=2,
+                                    use_flash=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=3e-2)
