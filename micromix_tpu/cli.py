@@ -120,6 +120,58 @@ def cmd_eval(args) -> None:
             json.dump(results, f, indent=2, default=str)
 
 
+def cmd_serve(args) -> None:
+    """Batch-generate with the continuous-batching engine.
+
+    The serving entry point the reference lacks entirely (its FlashInfer
+    kernels were bound but never driven, SURVEY.md §1).  Reads one prompt
+    per line, streams them through the engine, prints completions + stats.
+    """
+    import numpy as np
+    from .serve import Engine, Request
+    from .serve.sampling import SamplingParams
+
+    if args.quantized_ckpt:
+        from .models.checkpoint import load_params
+        params, cfg, _ = load_params(args.quantized_ckpt)
+        assert cfg is not None, "checkpoint has no ModelConfig"
+    else:
+        cfg, params = _load_model(args)
+        if args.do_quant:
+            params = _quantize(params, cfg, args)
+    tok = _tokenizer(args)
+
+    with open(args.prompts) as f:
+        prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+    eng = Engine(params, cfg, max_seqs=args.max_seqs,
+                 page_size=args.page_size, kv_bits=args.kv_bits or 4,
+                 decode_chunk=args.decode_chunk)
+    sampling = SamplingParams(temperature=args.temperature,
+                              top_k=args.top_k, top_p=args.top_p)
+    reqs = [
+        Request(req_id=i, prompt=tok(p)["input_ids"],
+                max_new_tokens=args.max_new_tokens, sampling=sampling,
+                eos_id=tok.eos_token_id)
+        for i, p in enumerate(prompts)
+    ]
+    t0 = time.time()
+    eng.run(reqs)
+    dt = time.time() - t0
+    for r in reqs:
+        print(f"--- [{r.req_id}] ---")
+        print(tok.decode(r.output, skip_special_tokens=True))
+    ttfts = [eng.ttft[r.req_id] for r in reqs if r.req_id in eng.ttft]
+    print(json.dumps({
+        "requests": len(reqs),
+        "prefill_tokens": eng.prefill_tokens,
+        "decode_tokens": eng.decode_tokens,
+        "preemptions": eng.preemptions,
+        "wall_s": round(dt, 3),
+        "decode_tokens_per_s": round(eng.decode_tokens / dt, 2),
+        "mean_ttft_ms": round(1e3 * float(np.mean(ttfts)), 2),
+    }))
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="micromix_tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -164,6 +216,26 @@ def main(argv=None) -> None:
                    help="int-group KV fake quant bits (e.g. 4)")
     e.add_argument("--log-dir", default="results")
     e.set_defaults(fn=cmd_eval)
+
+    s = sub.add_parser("serve", help="batch generation (continuous batching)")
+    s.add_argument("--model", required=True)
+    s.add_argument("--quantized-ckpt", default=None)
+    s.add_argument("--do-quant", action="store_true")
+    s.add_argument("--calibration", default="saved/calibration.npz")
+    s.add_argument("--smooth", action="store_true", default=True)
+    s.add_argument("--no-smooth", dest="smooth", action="store_false")
+    s.add_argument("--alpha", type=float, default=0.5)
+    s.add_argument("--symmetric-weights", action="store_true")
+    s.add_argument("--prompts", required=True, help="file, one prompt/line")
+    s.add_argument("--max-new-tokens", type=int, default=128)
+    s.add_argument("--max-seqs", type=int, default=8)
+    s.add_argument("--page-size", type=int, default=128)
+    s.add_argument("--kv-bits", type=int, default=4)
+    s.add_argument("--decode-chunk", type=int, default=8)
+    s.add_argument("--temperature", type=float, default=0.0)
+    s.add_argument("--top-k", type=int, default=0)
+    s.add_argument("--top-p", type=float, default=1.0)
+    s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -65,8 +65,21 @@ def get_loaders(name: str, tokenizer, *, split: str = "test",
     calibration_batches: ``nsamples`` windows of (1, seqlen) from the train
     split (reorder_indices.py:79-89 semantics); test_stream: flat test ids.
     """
+    if name == "synthetic":
+        # offline-friendly loader (zero-egress containers, CI)
+        vocab = int(getattr(tokenizer, "vocab_size", None) or len(tokenizer))
+        test = synthetic_tokens(vocab, max(4 * seqlen, 4096), seed=seed + 1)
+        train = synthetic_tokens(vocab, max(8 * seqlen, 8192), seed=seed)
+        rng = np.random.default_rng(seed)
+        calib_batches = [
+            train[i:i + seqlen][None, :]
+            for i in rng.integers(0, len(train) - seqlen - 1,
+                                  size=nsamples or 0)
+        ]
+        return calib_batches, test
     if name not in _LOADERS:
-        raise ValueError(f"unknown dataset {name!r}; one of {list(_LOADERS)}")
+        raise ValueError(f"unknown dataset {name!r}; one of "
+                         f"{list(_LOADERS) + ['synthetic']}")
     try:
         test = _LOADERS[name](tokenizer, split=split)
         calib_batches: List[np.ndarray] = []

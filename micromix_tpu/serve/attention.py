@@ -35,7 +35,9 @@ _NEG = -1e30
 
 
 def paged_decode_attention_xla(q: jnp.ndarray, cache: PagedKVCache,
-                               seq_ids: jnp.ndarray) -> jnp.ndarray:
+                               seq_ids: jnp.ndarray,
+                               sliding_window: Optional[int] = None
+                               ) -> jnp.ndarray:
     """Reference path.  q (B, H, D) -> (B, H, D)."""
     b, h, d = q.shape
     hkv = cache.n_kv_heads
@@ -53,7 +55,11 @@ def paged_decode_attention_xla(q: jnp.ndarray, cache: PagedKVCache,
     qg = q.reshape(b, hkv, g, d).astype(jnp.float32)
     scores = jnp.einsum("bkgd,btkd->bkgt", qg, k)
     scores = scores / jnp.sqrt(float(d))
-    valid = (jnp.arange(t)[None, :] < cache.lengths[seq_ids][:, None])
+    n = cache.lengths[seq_ids][:, None]
+    valid = (jnp.arange(t)[None, :] < n)
+    if sliding_window is not None:
+        valid = jnp.logical_and(valid,
+                                jnp.arange(t)[None, :] >= n - sliding_window)
     scores = jnp.where(valid[:, None, None, :], scores, _NEG)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgt,btkd->bkgd", probs, v)
@@ -81,10 +87,14 @@ def _decode_kernel(
     out_ref,                     # (1, Hkv, G, D) VMEM
     kbuf, vbuf, kszb, vszb, sem,  # scratch (double-buffered)
     *, bits: int, page_size: int, hkv: int, g: int, d: int,
+    window: Optional[int],
 ):
     b = pl.program_id(0)
     n = lengths[b]
     npages = pl.cdiv(n, page_size)
+    # sliding window: pages fully below n - window are never touched
+    p0 = (jnp.maximum(n - window, 0) // page_size
+          if window is not None else jnp.int32(0))
     scale = 1.0 / (d ** 0.5)
     q = q_ref[0].astype(jnp.float32) * scale        # (Hkv, G, D)
 
@@ -99,9 +109,9 @@ def _decode_kernel(
                                   sem.at[slot, 3]),
         ]
 
-    @pl.when(npages > 0)
+    @pl.when(npages > p0)
     def _():
-        for c in dma(0, 0):
+        for c in dma(p0 % 2, p0):
             c.start()
 
     def body(p, carry):
@@ -118,6 +128,7 @@ def _decode_kernel(
 
         pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (g, page_size), 1)
+        lo_ok = (pos >= n - window) if window is not None else True
         s_heads, pv_heads = [], []
         for hh in range(hkv):
             k_h = _dequant_head(kbuf[slot, hh], kszb[slot, hh], bits)  # (D,ps)
@@ -125,7 +136,7 @@ def _decode_kernel(
             s = jax.lax.dot_general(
                 q[hh], k_h, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)            # (G, ps)
-            s = jnp.where(pos < n, s, _NEG)
+            s = jnp.where(jnp.logical_and(pos < n, lo_ok), s, _NEG)
             s_heads.append(s)
             pv_heads.append(v_h)
         s = jnp.stack(s_heads)                                 # (Hkv, G, ps)
@@ -146,13 +157,14 @@ def _decode_kernel(
     acc0 = jnp.zeros((hkv, g, d), jnp.float32)
     m0 = jnp.full((hkv, g), _NEG, jnp.float32)
     den0 = jnp.zeros((hkv, g), jnp.float32)
-    acc, m, den = jax.lax.fori_loop(0, npages, body, (acc0, m0, den0))
+    acc, m, den = jax.lax.fori_loop(p0, npages, body, (acc0, m0, den0))
     out = acc / jnp.maximum(den, 1e-30)[..., None]
     out_ref[0] = out.astype(out_ref.dtype)
 
 
 def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
                            seq_ids: jnp.ndarray, *,
+                           sliding_window: Optional[int] = None,
                            interpret: Optional[bool] = None) -> jnp.ndarray:
     """Pallas path.  q (B, H, D) -> (B, H, D)."""
     if interpret is None:
@@ -173,7 +185,8 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
     lengths = cache.lengths[seq_ids]
 
     kernel = functools.partial(
-        _decode_kernel, bits=cache.bits, page_size=ps, hkv=hkv, g=g, d=d)
+        _decode_kernel, bits=cache.bits, page_size=ps, hkv=hkv, g=g, d=d,
+        window=sliding_window)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,

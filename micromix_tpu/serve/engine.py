@@ -89,6 +89,7 @@ class Engine:
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0
+        self.preemptions = 0
         self.ttft: Dict[int, float] = {}
         self._t_submit: Dict[int, float] = {}
 
@@ -130,16 +131,33 @@ class Engine:
                 return b
         raise ValueError(f"prompt length {n} exceeds largest bucket")
 
+    def _preempt(self, slot_id: int) -> None:
+        """Evict a running sequence: free its pages, requeue for recompute.
+
+        vLLM-style recomputation preemption: on re-admission the prefill
+        context is prompt + tokens generated so far, so no state is lost.
+        """
+        req = self.slots[slot_id].req
+        self._release(slot_id)
+        self.waiting.insert(0, req)
+        self.preemptions += 1
+
     def _admit(self) -> None:
         for slot_id, slot in enumerate(self.slots):
             if slot.req is not None or not self.waiting:
                 continue
             req = self.waiting.pop(0)
-            n = len(req.prompt)
+            n = len(req.prompt) + len(req.output)
             bucket = self._bucket(n)
-            self._ensure_pages(slot_id, bucket)
+            try:
+                self._ensure_pages(slot_id, bucket)
+            except RuntimeError:
+                # pool exhausted: leave it queued until pages free up
+                self.waiting.insert(0, req)
+                return
             toks = np.zeros((1, bucket), np.int32)
-            toks[0, :n] = req.prompt
+            toks[0, :n] = req.prompt + req.output  # output non-empty after
+            # a preemption: recompute-from-context re-admission
             logits, self.caches = self._prefill(
                 self.params, self.caches, jnp.asarray(toks),
                 jnp.int32(slot_id), jnp.int32(0), jnp.int32(n - 1))
@@ -198,12 +216,29 @@ class Engine:
         positions = np.zeros((self.max_seqs,), np.int32)
         for i, s in enumerate(self.slots):
             if s.req is not None:
+                # pages for the whole chunk up front (writes happen
+                # in-graph); on exhaustion preempt other slots until the
+                # allocation fits (recompute-style, vLLM semantics)
+                while True:
+                    try:
+                        self._ensure_pages(i, s.pos + chunk + 1)
+                        break
+                    except RuntimeError:
+                        victims = [j for j, t in enumerate(self.slots)
+                                   if t.req is not None and j != i]
+                        if not victims:
+                            raise RuntimeError(
+                                "KV pool too small for a single sequence")
+                        # youngest victim: cheapest recompute
+                        v = min(victims,
+                                key=lambda j: len(self.slots[j].req.output))
+                        self._preempt(v)
+                if s.req is None:
+                    continue  # slot itself was never filled (defensive)
                 last = (s.req.output[-1] if s.req.output
                         else s.req.prompt[-1])
                 tokens[i] = last
                 positions[i] = s.pos
-                # pages for the whole chunk up front (writes happen in-graph)
-                self._ensure_pages(i, s.pos + chunk + 1)
         # inactive slots write to scratch page 0 at positions 0..chunk-1
         if chunk == 1:
             logits, self.caches = self._decode(

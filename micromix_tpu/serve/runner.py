@@ -116,7 +116,8 @@ def decode_step(params: Params, cfg: ModelConfig, caches: Caches,
         k = _rope1(k[:, 0], cos, sin)[:, None]
         cache = append_kv(cache, seq_ids, positions, k[:, 0], v[:, 0])
         new_caches.append(cache)
-        out = paged_decode_attention(q[:, 0], cache, seq_ids)
+        out = paged_decode_attention(q[:, 0], cache, seq_ids,
+                                     sliding_window=cfg.sliding_window)
         out = out.reshape(b, 1, cfg.num_heads * cfg.head_dim)
         h = h + _o_proj(out, p)
         h = h + _mlp(h, p, cfg)

@@ -1,0 +1,85 @@
+"""End-to-end CLI tests over a synthetic on-disk HF checkpoint.
+
+Builds a tiny Llama checkpoint (config.json + safetensors + a WordLevel
+fast tokenizer), then drives calibrate -> quantize -> eval(ppl) -> serve
+through micromix_tpu.cli main() exactly as a user would.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from micromix_tpu.cli import main
+from micromix_tpu.models import ModelConfig, random_dense_params
+from micromix_tpu.models.loader import export_dense_params
+
+
+VOCAB = 64
+
+
+@pytest.fixture(scope="module")
+def ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("llama-tiny")
+    cfg = ModelConfig(arch="llama", vocab_size=VOCAB, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=2,
+                      num_kv_heads=2, head_dim=64, rope_theta=10000.0,
+                      rms_eps=1e-6)
+    params = random_dense_params(cfg, seed=0)
+    from safetensors.numpy import save_file
+    tensors = {k: v.astype(np.float32)
+               for k, v in export_dense_params(params, cfg).items()}
+    save_file(tensors, str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump({
+            "model_type": "llama", "vocab_size": VOCAB,
+            "hidden_size": 128, "intermediate_size": 256,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "num_key_value_heads": 2, "rope_theta": 10000.0,
+            "rms_norm_eps": 1e-6,
+        }, f)
+
+    # WordLevel fast tokenizer over a toy vocab
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    words = {f"w{i}": i for i in range(VOCAB - 2)}
+    words["[UNK]"] = VOCAB - 2
+    words["</s>"] = VOCAB - 1
+    tok = Tokenizer(WordLevel(vocab=words, unk_token="[UNK]"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(d / "tokenizer.json"))
+    with open(d / "tokenizer_config.json", "w") as f:
+        json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+                   "eos_token": "</s>", "unk_token": "[UNK]",
+                   "model_max_length": 2048}, f)
+    return str(d)
+
+
+def test_cli_calibrate_quantize_eval_serve(ckpt, tmp_path, capsys):
+    calib = str(tmp_path / "calib.npz")
+    main(["calibrate", "--model", ckpt, "--samples", "2", "--seqlen", "32",
+          "--dataset", "synthetic", "--output", calib])
+    assert os.path.exists(calib)
+
+    qdir = str(tmp_path / "quantized")
+    main(["quantize", "--model", ckpt, "--calibration", calib,
+          "--output", qdir])
+    assert os.path.exists(os.path.join(qdir, "manifest.json"))
+
+    main(["eval", "--model", ckpt, "--quantized-ckpt", qdir,
+          "--eval-ppl", "synthetic", "--seqlen", "32",
+          "--log-dir", str(tmp_path / "results")])
+    out = capsys.readouterr().out
+    assert "perplexity" in out
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("w1 w2 w3\nw4 w5\n")
+    main(["serve", "--model", ckpt, "--quantized-ckpt", qdir,
+          "--prompts", str(prompts), "--max-new-tokens", "4",
+          "--max-seqs", "2", "--page-size", "16", "--decode-chunk", "2"])
+    out = capsys.readouterr().out
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["requests"] == 2
+    assert stats["decode_tokens"] > 0

@@ -95,3 +95,24 @@ def test_pallas_decode_attention_matches_xla(rng, bits):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_decode_attention_sliding_window(rng):
+    cache, _ = _build_cache(rng, bits=4)
+    b, h, d = 3, 4, cache.head_dim
+    q = jnp.asarray(rng.normal(0, 1, (b, h, d)), jnp.bfloat16)
+    for w in (8, 24):
+        want = paged_decode_attention_xla(q, cache, jnp.arange(b),
+                                          sliding_window=w)
+        got = paged_decode_attention(q, cache, jnp.arange(b),
+                                     sliding_window=w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(want, np.float32),
+                                   rtol=3e-2, atol=3e-2)
+    # window larger than any length == no window
+    want = paged_decode_attention_xla(q, cache, jnp.arange(b))
+    got = paged_decode_attention(q, cache, jnp.arange(b),
+                                 sliding_window=4096, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)
