@@ -68,6 +68,8 @@ def paged_decode_attention_xla(q: jnp.ndarray, cache: PagedKVCache,
 
 def _dequant_head(codes, sz, bits):
     """codes (dq, ps) u8, sz (2, ps) [scale, zero] -> f32 (D, ps)."""
+    if bits == 16:
+        return codes.astype(jnp.float32)
     if bits == 4:
         c = codes.astype(jnp.uint32)
         lo = (c & 0xF).astype(jnp.int32)
@@ -100,14 +102,18 @@ def _decode_kernel(
 
     def dma(slot, p_idx):
         pid = page_tbl[b, p_idx]
-        return [
+        copies = [
             pltpu.make_async_copy(kc.at[pid], kbuf.at[slot], sem.at[slot, 0]),
             pltpu.make_async_copy(vc.at[pid], vbuf.at[slot], sem.at[slot, 1]),
-            pltpu.make_async_copy(ksz.at[pid], kszb.at[slot],
-                                  sem.at[slot, 2]),
-            pltpu.make_async_copy(vsz.at[pid], vszb.at[slot],
-                                  sem.at[slot, 3]),
         ]
+        if bits != 16:  # dense pages carry no scale/zero params
+            copies += [
+                pltpu.make_async_copy(ksz.at[pid], kszb.at[slot],
+                                      sem.at[slot, 2]),
+                pltpu.make_async_copy(vsz.at[pid], vszb.at[slot],
+                                      sem.at[slot, 3]),
+            ]
+        return copies
 
     @pl.when(npages > p0)
     def _():
@@ -198,8 +204,8 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
         out_specs=pl.BlockSpec((1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, hkv, dq, ps), jnp.uint8),
-            pltpu.VMEM((2, hkv, dq, ps), jnp.uint8),
+            pltpu.VMEM((2, hkv, dq, ps), cache.k_codes.dtype),
+            pltpu.VMEM((2, hkv, dq, ps), cache.k_codes.dtype),
             pltpu.VMEM((2, hkv, 2, ps), jnp.bfloat16),
             pltpu.VMEM((2, hkv, 2, ps), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((2, 4)),

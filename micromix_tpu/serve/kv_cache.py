@@ -52,6 +52,11 @@ class PagedKVCache:
         return d * 2 if self.bits == 4 else d
 
     @property
+    def is_dense(self) -> bool:
+        """bits == 16: raw bf16 pages, no dequant (FlashInfer *_f16 mode)."""
+        return self.bits == 16
+
+    @property
     def n_kv_heads(self) -> int:
         return self.k_codes.shape[1]
 
@@ -76,8 +81,10 @@ def make_cache(n_pages: int, page_size: int, n_kv: int, head_dim: int,
     real TPU hardware that requires page_size % 128 == 0 (Mosaic lane
     tiling); smaller pages work in interpreter mode / tests only.
     """
+    assert bits in (4, 8, 16), bits
     dq = head_dim // 2 if bits == 4 else head_dim
-    z8 = jnp.zeros((n_pages, n_kv, dq, page_size), jnp.uint8)
+    dt = jnp.bfloat16 if bits == 16 else jnp.uint8
+    z8 = jnp.zeros((n_pages, n_kv, dq, page_size), dt)
     zs = jnp.zeros((n_pages, n_kv, 2, page_size), jnp.bfloat16)
     return PagedKVCache(
         k_codes=z8, v_codes=z8, k_sz=zs, v_sz=zs,
@@ -92,6 +99,9 @@ def kv_quantize(x: jnp.ndarray, bits: int) -> Tuple[jnp.ndarray, jnp.ndarray,
     Asymmetric uint grid over the full head_dim (group = D), round-half-even
     — identical numerics to quantize_int_group (qLlamaLayer.py:12-23).
     """
+    if bits == 16:  # dense mode: identity "quantization"
+        ones = jnp.ones(x.shape[:-1], jnp.bfloat16)
+        return x.astype(jnp.bfloat16), ones, jnp.zeros_like(ones)
     xf = x.astype(jnp.float32)
     gmax = jnp.max(xf, axis=-1, keepdims=True)
     gmin = jnp.min(xf, axis=-1, keepdims=True)
@@ -110,6 +120,8 @@ def kv_dequantize_page(codes: jnp.ndarray, sz: jnp.ndarray, bits: int,
                        dtype=jnp.float32) -> jnp.ndarray:
     """Token-minor pages: codes (..., dq, ps) + sz (..., 2, ps)
     -> values (..., D, ps)."""
+    if bits == 16:
+        return codes.astype(dtype)
     if bits == 4:
         lo = (codes & 0xF).astype(jnp.int32)
         hi = ((codes >> 4) & 0xF).astype(jnp.int32)
@@ -177,6 +189,8 @@ def gather_kv(cache: PagedKVCache, seq_id, max_len: int,
 def kv_dequantize(codes: jnp.ndarray, scale: jnp.ndarray, zero: jnp.ndarray,
                   bits: int, dtype=jnp.bfloat16) -> jnp.ndarray:
     """codes (..., dq) token-major -> (..., D)."""
+    if bits == 16:
+        return codes.astype(dtype)
     if bits == 4:
         lo = (codes & 0xF).astype(jnp.int32)
         hi = ((codes >> 4) & 0xF).astype(jnp.int32)

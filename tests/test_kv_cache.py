@@ -116,3 +116,23 @@ def test_pallas_decode_attention_sliding_window(rng):
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_dense_bf16_cache_mode(rng):
+    """bits=16: raw bf16 pages (FlashInfer *_f16 analog) — decode attention
+    must match the quant-free dense attention exactly (up to f32 order)."""
+    cache, kvs = _build_cache(rng, bits=16)
+    b, h, d = 3, 4, cache.head_dim
+    q = jnp.asarray(rng.normal(0, 1, (b, h, d)), jnp.bfloat16)
+    want = paged_decode_attention_xla(q, cache, jnp.arange(b))
+    got = paged_decode_attention(q, cache, jnp.arange(b), interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)
+    # and the cache stores exact bf16 values
+    k0, _ = kvs[0]
+    from micromix_tpu.serve.kv_cache import gather_kv
+    kd, _ = gather_kv(cache, 0, 16)
+    np.testing.assert_allclose(
+        np.asarray(kd[:10], np.float32),
+        np.asarray(jnp.asarray(k0[:10]).astype(jnp.bfloat16), np.float32))
