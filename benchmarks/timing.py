@@ -39,11 +39,16 @@ def on_tpu() -> bool:
 
 
 def marginal_time(mkloop: Callable[[int], Callable], iters: int, *,
-                  reps: int = 3) -> float:
+                  reps: int = 3, max_scale: int = 64) -> float:
     """Per-iteration seconds via two-point marginal-rate timing.
 
     ``mkloop(n)`` must return a compiled callable ``f(seed:int) -> scalar``
     that runs the measured op ``n`` times; the scalar forces completion.
+
+    The two-point estimate is only trustworthy when the long loop clearly
+    dominates the constant dispatch/fetch overhead; if it doesn't (fast
+    ops, RPC jitter), the loop length auto-scales up (at the cost of one
+    recompile per scale step) until t_hi >= 1.5 * t_lo.
     """
     def timed(n: int) -> float:
         f = mkloop(n)
@@ -55,9 +60,14 @@ def marginal_time(mkloop: Callable[[int], Callable], iters: int, *,
             best = min(best, time.perf_counter() - t0)
         return best
 
-    lo = max(1, iters // 4)
-    t_lo, t_hi = timed(lo), timed(iters)
-    return max((t_hi - t_lo) / (iters - lo), 1e-12)
+    scale = 1
+    while True:
+        n_hi = iters * scale
+        n_lo = max(1, n_hi // 4)
+        t_lo, t_hi = timed(n_lo), timed(n_hi)
+        if t_hi >= 1.5 * t_lo or scale >= max_scale:
+            return max((t_hi - t_lo) / (n_hi - n_lo), 1e-12)
+        scale *= 4
 
 
 def emit(metric: str, value: float, unit: str, **extra) -> None:

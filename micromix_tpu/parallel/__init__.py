@@ -16,10 +16,18 @@ from .spmd import (
 from .moe_ep import ep_moe_forward, stack_dense_experts
 from .pp import make_pp_mesh, pipeline_parallel_forward, stack_layers
 from .sp import sequence_parallel_forward
+from .tp_quant import (
+    quantize_model_tp,
+    shard_params_tp,
+    sharded_forward_tp,
+    split_site_calibration,
+)
 
 __all__ = [
     "make_mesh", "sharded_quantized_forward", "shard_quantized_params",
     "tp_validate_config", "ep_moe_forward", "stack_dense_experts",
     "pipeline_parallel_forward", "make_pp_mesh", "stack_layers",
     "sequence_parallel_forward",
+    "quantize_model_tp", "shard_params_tp", "sharded_forward_tp",
+    "split_site_calibration",
 ]
