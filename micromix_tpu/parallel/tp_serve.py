@@ -1,0 +1,216 @@
+"""Multi-chip (TP-sharded) serving: sharded KV cache + shard-mapped steps.
+
+North-star config 4/5 (BASELINE.md): continuous-batched serving with the
+KV cache and weights tensor-sharded over the mesh's "model" axis.  Builds
+on TP v2 weights (tp_quant.py: q/k/v/gate/up row-sharded, o/down K-sharded
+with shard-local quantization) and shards the paged KV cache over KV HEADS,
+so the Pallas decode-attention kernel runs unchanged on each device's local
+head slice — attention is embarrassingly parallel over heads; the only
+per-layer collectives are the two psums of the row-parallel projections.
+
+``make_tp_engine`` returns a serve.Engine whose jitted prefill / decode /
+chunked-decode steps are shard_map'd over the mesh; the engine's host-side
+scheduling (slots, page tables, preemption, sampling bookkeeping) is
+unchanged — page tables and lengths are replicated, KV pages sharded.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kernels.mixed_matmul import mixed_matmul
+from ..models.common import (
+    ModelConfig, apply_rope, attention, causal_mask, rmsnorm, rope_table)
+from ..ops.quantize_ops import (
+    activation_quantize, reorder_quantize_x, rmsnorm_quantize_x)
+from ..serve.attention import paged_decode_attention
+from ..serve.kv_cache import PagedKVCache, append_kv
+from ..serve.runner import _rope1, _rope_angles, decode_multi
+from .tp_quant import param_specs_tp
+
+Params = Dict[str, Any]
+
+
+def _cache_spec(cache: PagedKVCache) -> PagedKVCache:
+    """PartitionSpec pytree: pages shard over KV heads on 'model'."""
+    kv = P(None, "model", None, None)
+    return PagedKVCache(
+        k_codes=kv, v_codes=kv, k_sz=kv, v_sz=kv,
+        page_table=P(), lengths=P(), bits=cache.bits)
+
+
+def shard_caches(caches: List[PagedKVCache],
+                 mesh: Mesh) -> List[PagedKVCache]:
+    return [
+        jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            c, _cache_spec(c))
+        for c in caches
+    ]
+
+
+def _row_parallel(x2d, site, lin, out_bias_once=True):
+    """Shard-local quantize -> local mixed matmul -> psum (f32 partials)."""
+    qx = (reorder_quantize_x(x2d, site.perm, *site.splits)
+          if site.perm is not None
+          else activation_quantize(x2d, *site.splits))
+    y = jax.lax.psum(mixed_matmul(qx, lin.w, out_dtype=jnp.float32),
+                     "model")
+    if lin.bias is not None and out_bias_once:
+        y = y + lin.bias
+    return y.astype(jnp.bfloat16)
+
+
+def _tp_layer(h, p, cfg_l: ModelConfig, *, attn_fn):
+    """One decoder layer, local heads; attn_fn(q, k, v) -> (B, S, Hl*D)."""
+    b, s, _ = h.shape
+    hd, nh_l, nkv_l = cfg_l.head_dim, cfg_l.num_heads, cfg_l.num_kv_heads
+    site = p["attn_site"]
+    from ..models.common import project_all
+    q, k, v = project_all(h, site, [p["q"], p["k"], p["v"]], p["ln1"],
+                          cfg_l.rms_eps)
+    q = q.reshape(b, s, nh_l, hd)
+    k = k.reshape(b, s, nkv_l, hd)
+    v = v.reshape(b, s, nkv_l, hd)
+    out, k, v = attn_fn(q, k, v)
+    h = h + _row_parallel(out.reshape(b * s, -1), p["o_site"],
+                          p["o"]).reshape(b, s, -1)
+    msite = p["mlp_site"]
+    qm = rmsnorm_quantize_x(h, p["ln2"], msite.perm, *msite.splits,
+                            eps=cfg_l.rms_eps)
+    gate, up = p["gate"](qm), p["up"](qm)
+    act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32))
+    d = _row_parallel(act, p["down_site"], p["down"])
+    return h + d.reshape(b, s, -1)
+
+
+def _logits(params, cfg, h):
+    h = rmsnorm(h, params["final_ln"], cfg.rms_eps)
+    return jnp.dot(h, params["lm_head"].T.astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+
+
+def tp_prefill(params: Params, cfg_l: ModelConfig, caches, tokens,
+               seq_id, start_pos, last_idx):
+    """shard_map body: prefill with local heads; replicated logits out."""
+    b, s = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    positions = start_pos + jnp.arange(s)
+    cos, sin = rope_table(positions, cfg_l.head_dim, cfg_l.rope_theta)
+    mask = causal_mask(s, s, cfg_l.sliding_window)
+    seq_ids = jnp.full((s,), seq_id, jnp.int32)
+    new_caches = []
+    cache_it = iter(caches)
+
+    def attn_fn(q, k, v):
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = append_kv(next(cache_it), seq_ids, positions, k[0], v[0])
+        new_caches.append(cache)
+        if jax.default_backend() != "cpu":
+            from ..kernels.flash_attention import flash_attention
+            out = flash_attention(q, k, v,
+                                  sliding_window=cfg_l.sliding_window)
+        else:
+            out = attention(q, k, v, mask)
+        return out.reshape(b, s, -1), k, v
+
+    for p in params["layers"]:
+        h = _tp_layer(h, p, cfg_l, attn_fn=attn_fn)
+    h_last = jax.lax.dynamic_slice_in_dim(h, last_idx, 1, axis=1)[:, 0]
+    return _logits(params, cfg_l, h_last), new_caches
+
+
+def tp_decode_step(params: Params, cfg_l: ModelConfig, caches, tokens,
+                   seq_ids, positions):
+    """shard_map body: one decode step over all slots, local KV heads."""
+    b = tokens.shape[0]
+    h = jnp.take(params["embed"], tokens, axis=0)[:, None, :].astype(
+        jnp.bfloat16)
+    cos = jnp.cos(_rope_angles(positions, cfg_l))
+    sin = jnp.sin(_rope_angles(positions, cfg_l))
+    new_caches = []
+    cache_it = iter(caches)
+
+    def attn_fn(q, k, v):
+        qr = _rope1(q[:, 0], cos, sin)[:, None]
+        kr = _rope1(k[:, 0], cos, sin)[:, None]
+        cache = append_kv(next(cache_it), seq_ids, positions,
+                          kr[:, 0], v[:, 0])
+        new_caches.append(cache)
+        out = paged_decode_attention(qr[:, 0], cache, seq_ids,
+                                     sliding_window=cfg_l.sliding_window)
+        return out.reshape(b, 1, -1), kr, v
+
+    for p in params["layers"]:
+        h = _tp_layer(h, p, cfg_l, attn_fn=attn_fn)
+    return _logits(params, cfg_l, h[:, 0]), new_caches
+
+
+def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
+                     decode_chunk: int = 8, n_layers: int = None):
+    """Build (prefill, decode, decode_multi) shard-mapped jitted callables
+    matching serve.Engine's expected signatures."""
+    tp = mesh.shape["model"]
+    assert cfg.num_kv_heads % tp == 0 and cfg.num_heads % tp == 0
+    cfg_l = dataclasses.replace(cfg, num_heads=cfg.num_heads // tp,
+                                num_kv_heads=cfg.num_kv_heads // tp)
+    pspecs = param_specs_tp(params)
+    L = n_layers if n_layers is not None else cfg.num_layers
+
+    def cache_specs(caches):
+        return [_cache_spec(c) for c in caches]
+
+    def mk(body, extra_scalar_args):
+        def wrapped(p, c, *args):
+            scal = (P(),) * extra_scalar_args
+            fn = jax.shard_map(
+                functools.partial(body, cfg_l=cfg_l),
+                mesh=mesh,
+                in_specs=(pspecs, cache_specs(c)) + (P(),) + scal,
+                out_specs=(P(), cache_specs(c)),
+                check_vma=False,
+            )
+            return fn(p, c, *args)
+        return jax.jit(wrapped)
+
+    prefill_fn = mk(lambda p, c, t, sid, sp, li, cfg_l: tp_prefill(
+        p, cfg_l, c, t, sid, sp, li), 3)
+    decode_fn = mk(lambda p, c, t, sid, pos, cfg_l: tp_decode_step(
+        p, cfg_l, c, t, sid, pos), 2)
+
+    def multi_body(p, c, t, sid, pos, key, step, tt, kk, tp_, cfg_l):
+        return decode_multi(
+            p, cfg_l, c, t, sid, pos, jax.random.fold_in(key, step),
+            tt, kk, tp_, n_steps=decode_chunk,
+            step_fn=lambda prm, cl, cc, tk, si, po: tp_decode_step(
+                prm, cl, cc, tk, si, po))
+    decode_multi_fn = mk(multi_body, 7)
+
+    return prefill_fn, decode_fn, decode_multi_fn
+
+
+def make_tp_engine(params_tp: Params, cfg: ModelConfig, mesh: Mesh,
+                   **engine_kw):
+    """serve.Engine over TP-v2 sharded params + head-sharded KV cache."""
+    from ..serve.engine import Engine
+    from .tp_quant import shard_params_tp
+
+    decode_chunk = engine_kw.pop("decode_chunk", 8)
+    sharded = shard_params_tp(params_tp, mesh)
+    step_fns = make_tp_step_fns(sharded, cfg, mesh,
+                                decode_chunk=decode_chunk)
+    return Engine(sharded, cfg, decode_chunk=decode_chunk,
+                  step_fns=step_fns,
+                  cache_sharding=lambda c: shard_caches([c], mesh)[0],
+                  **engine_kw)
+
+
+__all__ = ["make_tp_engine", "make_tp_step_fns", "shard_caches",
+           "tp_prefill", "tp_decode_step"]

@@ -51,7 +51,8 @@ class Engine:
                  page_size: int = 128, max_pages_per_seq: int = 64,
                  n_pages: Optional[int] = None, kv_bits: int = 4,
                  prefill_buckets=(16, 32, 64, 128, 256, 512, 1024, 2048),
-                 decode_chunk: int = 8, seed: int = 0):
+                 decode_chunk: int = 8, seed: int = 0,
+                 step_fns=None, cache_sharding=None):
         self.params = params
         self.cfg = cfg
         self.max_seqs = max_seqs
@@ -63,6 +64,8 @@ class Engine:
                        max_seqs, max_pages_per_seq, bits=kv_bits)
             for _ in range(cfg.num_layers)
         ]
+        if cache_sharding is not None:  # e.g. KV heads over a TP mesh
+            self.caches = [cache_sharding(c) for c in self.caches]
         # host-side page bookkeeping: native C++ pool when available
         # (native/kvpool.cpp), Python fallback otherwise; page 0 = scratch
         self.block_manager = BlockManager(n_pages, page_size, max_seqs,
@@ -71,21 +74,26 @@ class Engine:
         self.waiting: List[Request] = []
         self._base_key = jax.random.PRNGKey(seed)
         self._sample_step = 0
-        self._prefill = jax.jit(
-            lambda p, c, t, sid, sp, li: prefill(p, cfg, c, t, sid, sp, li))
-        self._decode = jax.jit(
-            lambda p, c, t, sid, pos: decode_step(p, cfg, c, t, sid, pos))
+        self.decode_chunk = max(1, decode_chunk)
+        if step_fns is not None:
+            # multi-chip serving: shard-mapped (prefill, decode, decode_multi)
+            self._prefill, self._decode, self._decode_multi = step_fns
+        else:
+            self._prefill = jax.jit(
+                lambda p, c, t, sid, sp, li: prefill(p, cfg, c, t, sid, sp,
+                                                     li))
+            self._decode = jax.jit(
+                lambda p, c, t, sid, pos: decode_step(p, cfg, c, t, sid,
+                                                      pos))
+            self._decode_multi = jax.jit(
+                lambda p, c, t, sid, pos, key, step, tt, kk, tp: decode_multi(
+                    p, cfg, c, t, sid, pos, jax.random.fold_in(key, step),
+                    tt, kk, tp, n_steps=self.decode_chunk))
         # one jitted dispatch samples every slot (heterogeneous params);
         # per-slot eager sampling costs a tunnel RPC per op on axon
         self._sampler = jax.jit(
             lambda lg, key, step, t, k, tp: sample_batch(
                 lg, jax.random.fold_in(key, step), t, k, tp))
-        # chunked decode: decode_chunk decode+sample steps per dispatch
-        self.decode_chunk = max(1, decode_chunk)
-        self._decode_multi = jax.jit(
-            lambda p, c, t, sid, pos, key, step, tt, kk, tp: decode_multi(
-                p, cfg, c, t, sid, pos, jax.random.fold_in(key, step),
-                tt, kk, tp, n_steps=self.decode_chunk))
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0

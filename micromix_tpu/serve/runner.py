@@ -131,8 +131,8 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
                  tokens: jnp.ndarray, seq_ids: jnp.ndarray,
                  positions: jnp.ndarray, key: jax.Array,
                  temps: jnp.ndarray, top_k: jnp.ndarray,
-                 top_p: jnp.ndarray, *, n_steps: int
-                 ) -> Tuple[jnp.ndarray, Caches]:
+                 top_p: jnp.ndarray, *, n_steps: int,
+                 step_fn=None) -> Tuple[jnp.ndarray, Caches]:
     """``n_steps`` decode+sample steps in ONE program (lax.scan).
 
     Amortizes host dispatch over a chunk of steps — on the axon tunnel a
@@ -146,9 +146,12 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
     """
     from .sampling import sample_batch
 
+    if step_fn is None:
+        step_fn = decode_step
+
     def step(carry, i):
         caches, toks, pos = carry
-        logits, caches = decode_step(params, cfg, caches, toks, seq_ids, pos)
+        logits, caches = step_fn(params, cfg, caches, toks, seq_ids, pos)
         nxt = sample_batch(logits, jax.random.fold_in(key, i),
                            temps, top_k, top_p)
         return (caches, nxt, pos + 1), nxt

@@ -1,0 +1,77 @@
+"""Multi-chip (TP-sharded) serving vs the single-chip engine.
+
+8-virtual-CPU-device mesh; identity calibration + k4-only budgets make the
+shard-local and global quantizations numerically identical, so greedy
+generations must agree.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from micromix_tpu.models import (
+    ModelConfig, default_calibration, quantize_model, random_dense_params)
+from micromix_tpu.parallel import make_mesh
+from micromix_tpu.parallel.tp_quant import quantize_model_tp
+from micromix_tpu.parallel.tp_serve import make_tp_engine
+from micromix_tpu.serve import Engine, Request
+
+
+def _cfg():
+    return ModelConfig(arch="llama", vocab_size=128, hidden_size=128,
+                       intermediate_size=256, num_layers=2, num_heads=4,
+                       num_kv_heads=2, head_dim=32, rope_theta=10000.0,
+                       rms_eps=1e-6)
+
+
+def _reqs(rng, cfg, n=3):
+    return [
+        Request(req_id=i,
+                prompt=list(rng.integers(0, cfg.vocab_size, 5 + 2 * i)),
+                max_new_tokens=5)
+        for i in range(n)
+    ]
+
+
+def test_tp_engine_matches_single_chip(rng):
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=11)
+    calibs = default_calibration(cfg, p6=0, p8=0)  # identity, k4-only
+
+    eng1 = Engine(quantize_model(dense, cfg, calibs), cfg, max_seqs=2,
+                  page_size=16, max_pages_per_seq=8, prefill_buckets=(16,),
+                  decode_chunk=2)
+    out1 = [r.output for r in eng1.run(_reqs(np.random.default_rng(5), cfg))]
+
+    tp = 2
+    mesh = make_mesh(data=1, model=tp, devices=jax.devices()[:tp])
+    eng2 = make_tp_engine(quantize_model_tp(dense, cfg, calibs, tp), cfg,
+                          mesh, max_seqs=2, page_size=16,
+                          max_pages_per_seq=8, prefill_buckets=(16,),
+                          decode_chunk=2)
+    out2 = [r.output for r in eng2.run(_reqs(np.random.default_rng(5), cfg))]
+    assert out1 == out2
+
+
+def test_tp_engine_kv_cache_is_sharded(rng):
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=12)
+    calibs = default_calibration(cfg, p6=0, p8=0)
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    eng = make_tp_engine(quantize_model_tp(dense, cfg, calibs, 2), cfg,
+                         mesh, max_seqs=2, page_size=16,
+                         max_pages_per_seq=8, prefill_buckets=(16,))
+    # KV pages shard over heads ("model"); page tables replicated
+    c = eng.caches[0]
+    kc_sharding = c.k_codes.sharding
+    expected = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec(None, "model", None, None))
+    assert kc_sharding.is_equivalent_to(expected, c.k_codes.ndim)
+    reqs = _reqs(rng, cfg, n=2)
+    eng.run(reqs)
+    assert all(r.done and len(r.output) == 5 for r in reqs)
+    # cache updates preserved the sharding through the serving loop
+    assert eng.caches[0].k_codes.sharding.is_equivalent_to(
+        expected, eng.caches[0].k_codes.ndim)
