@@ -1,8 +1,9 @@
 """Fused activation-quantization ops.
 
-Each op ends in the mixed MX quantize (Pallas kernel on TPU; pure-XLA
-fallback on other backends / under interpret) and starts from a different
-producer, mirroring the reference's fused CUDA kernels:
+Each op ends in the mixed MX quantize — backend picked per shape by
+default (Pallas kernel at decode batch sizes, pure-XLA chain at
+prefill/eval sizes; see activation_quantize) — and starts from a
+different producer, mirroring the reference's fused CUDA kernels:
 
   * reorder_quantize_x   <- reorder_quantize_mixed_kernel (reorder.cu:94-269)
   * rmsnorm_quantize_x   <- rmsnorm_bf16_mixed_kernel (rmsnorm.cu:96-310)
@@ -34,10 +35,23 @@ def _flatten(x):
     return x.reshape(-1, x.shape[-1]), lead
 
 
+PALLAS_QUANTIZE_MAX_M = 128
+
+
 def activation_quantize(x2d: jnp.ndarray, k4: int, k6: int, k8: int, *,
-                        use_pallas: bool = True,
+                        use_pallas: Optional[bool] = None,
                         interpret: Optional[bool] = None) -> MixedTensor:
-    """Quantize device-layout activations (M, K) -> MixedTensor."""
+    """Quantize device-layout activations (M, K) -> MixedTensor.
+
+    use_pallas=None picks per shape (measured on v5e, docs/perf_notes.md):
+    the fused Pallas kernel wins at decode batch sizes (one dispatch, no
+    intermediate materialization inside the decode scan), while for
+    prefill/eval rows the pure-XLA chain is 2.5-3x faster (XLA fuses and
+    tiles the gather + bit arithmetic + pack better at scale).
+    """
+    if use_pallas is None:
+        use_pallas = (jax.default_backend() != "cpu"
+                      and x2d.shape[0] <= PALLAS_QUANTIZE_MAX_M)
     if use_pallas:
         return quantize_mixed_pallas(x2d, k4, k6, k8, interpret=interpret)
     # XLA path: deinterleave -> canonical quantize (which re-interleaves).
@@ -53,7 +67,7 @@ def activation_quantize(x2d: jnp.ndarray, k4: int, k6: int, k8: int, *,
 
 def reorder_quantize_x(x: jnp.ndarray, perm: jnp.ndarray,
                        k4: int, k6: int, k8: int, *,
-                       use_pallas: bool = True,
+                       use_pallas: Optional[bool] = None,
                        interpret: Optional[bool] = None) -> MixedTensor:
     """Gather channels into device order and quantize.  x: (..., K)."""
     x2d, _ = _flatten(x)
@@ -65,7 +79,7 @@ def reorder_quantize_x(x: jnp.ndarray, perm: jnp.ndarray,
 def rmsnorm_quantize_x(x: jnp.ndarray, gamma: jnp.ndarray, perm: jnp.ndarray,
                        k4: int, k6: int, k8: int, *,
                        eps: float = 1e-6,
-                       use_pallas: bool = True,
+                       use_pallas: Optional[bool] = None,
                        interpret: Optional[bool] = None) -> MixedTensor:
     """RMSNorm -> channel gather -> mixed quantize.
 
@@ -84,7 +98,7 @@ def rmsnorm_quantize_x(x: jnp.ndarray, gamma: jnp.ndarray, perm: jnp.ndarray,
 
 def silu_mul_quantize_x(gate: jnp.ndarray, up: jnp.ndarray,
                         k4: int, k6: int, k8: int, *,
-                        use_pallas: bool = True,
+                        use_pallas: Optional[bool] = None,
                         interpret: Optional[bool] = None) -> MixedTensor:
     """silu(gate) * up -> mixed quantize, NO gather.
 
