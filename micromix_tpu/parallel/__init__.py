@@ -13,7 +13,8 @@ from .spmd import (
     shard_quantized_params,
     tp_validate_config,
 )
-from .moe_ep import ep_moe_forward, stack_dense_experts
+from .moe_ep import (ep_moe_forward, ep_moe_forward_quant,
+                     stack_dense_experts, stack_quant_experts)
 from .pp import make_pp_mesh, pipeline_parallel_forward, stack_layers
 from .sp import sequence_parallel_forward
 from .tp_quant import (
@@ -26,6 +27,7 @@ from .tp_quant import (
 __all__ = [
     "make_mesh", "sharded_quantized_forward", "shard_quantized_params",
     "tp_validate_config", "ep_moe_forward", "stack_dense_experts",
+    "ep_moe_forward_quant", "stack_quant_experts",
     "pipeline_parallel_forward", "make_pp_mesh", "stack_layers",
     "sequence_parallel_forward",
     "quantize_model_tp", "shard_params_tp", "sharded_forward_tp",

@@ -74,3 +74,79 @@ def ep_moe_forward(x: jnp.ndarray, ln2: jnp.ndarray, router: DenseLinear,
     )
     return mapped(x, ln2, router.w, stacked["w1"], stacked["w3"],
                   stacked["w2"])
+
+
+# ---------------------------------------------------------------------------
+# Quantized expert parallelism (north-star config 5: expert-sharded
+# MX-quantized Mixtral).  Requires uniform per-expert segment budgets so the
+# packed arrays stack into (E, ...) and shard on dim 0.
+# ---------------------------------------------------------------------------
+
+
+def stack_quant_experts(experts: List[Dict[str, Any]]):
+    """[{site_in, site_down, w1, w3, w2}] (quantized) -> stacked pytree."""
+    def stack_lin(name):
+        return jax.tree.map(lambda *xs: jnp.stack(xs),
+                            *[ep[name] for ep in experts])
+
+    s_in = experts[0]["site_in"]
+    s_dn = experts[0]["site_down"]
+    for ep in experts:
+        assert ep["site_in"].splits == s_in.splits, "uniform budgets required"
+        assert ep["site_down"].splits == s_dn.splits
+    return {
+        "w1": stack_lin("w1"), "w3": stack_lin("w3"), "w2": stack_lin("w2"),
+        "perm_in": jnp.stack([ep["site_in"].perm for ep in experts]),
+        "splits_in": s_in.splits,     # static
+        "splits_down": s_dn.splits,   # static
+    }
+
+
+def ep_moe_forward_quant(x: jnp.ndarray, ln2: jnp.ndarray,
+                         router: DenseLinear, stacked, cfg: ModelConfig,
+                         mesh: Mesh) -> jnp.ndarray:
+    """Quantized MoE FFN sub-block, experts sharded over 'expert'.
+
+    Mirrors moe_block's quantized path (models/transformer.py) per local
+    expert: reorder+quantize the normed tokens with the expert's own site,
+    two segmented matmuls, fused silu·mul quantize, down matmul, weighted
+    f32 accumulate — then one psum over 'expert'.
+    """
+    from ..ops.quantize_ops import reorder_quantize_x, silu_mul_quantize_x
+
+    ep = mesh.shape["expert"]
+    assert cfg.num_experts % ep == 0
+    splits_in = stacked["splits_in"]
+    splits_down = stacked["splits_down"]
+
+    def local(x, ln2, router_w, perm_in, w1, w3, w2):
+        el = perm_in.shape[0]
+        xn = rmsnorm(x, ln2, cfg.rms_eps)
+        logits = jnp.dot(xn, router_w.T, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_w, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        weights = jnp.einsum(
+            "tk,tke->te", top_w,
+            jax.nn.one_hot(top_i, cfg.num_experts, dtype=probs.dtype))
+        e_off = jax.lax.axis_index("expert") * el
+        out = jnp.zeros((xn.shape[0], x.shape[-1]), jnp.float32)
+        for i in range(el):
+            lin = lambda t: jax.tree.map(lambda a: a[i], t)
+            qa = reorder_quantize_x(xn, perm_in[i], *splits_in)
+            g = lin(w1)(qa)
+            u = lin(w3)(qa)
+            dq = silu_mul_quantize_x(g, u, *splits_down)
+            ye = lin(w2)(dq)
+            out = out + ye.astype(jnp.float32) * weights[:, e_off + i][:, None]
+        return jax.lax.psum(out, "expert").astype(jnp.bfloat16)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("expert"), P("expert"), P("expert"),
+                  P("expert")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return mapped(x, ln2, router.w, stacked["perm_in"],
+                  stacked["w1"], stacked["w3"], stacked["w2"])

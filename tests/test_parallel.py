@@ -68,3 +68,37 @@ def test_ep_moe_matches_dense(rng):
         moe_block(x[None], layer, cfg)[0])
     np.testing.assert_allclose(got.astype(np.float32),
                                want.astype(np.float32), rtol=5e-2, atol=5e-2)
+
+
+def test_ep_quantized_matches_moe_block(rng):
+    """Expert-sharded quantized MoE == single-device quantized moe_block."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from micromix_tpu.models import (
+        ModelConfig, default_calibration, quantize_model,
+        random_dense_params)
+    from micromix_tpu.models.transformer import moe_block
+    from micromix_tpu.parallel import (
+        ep_moe_forward_quant, make_mesh, stack_quant_experts)
+
+    cfg = ModelConfig(arch="mixtral", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=1, num_heads=4,
+                      num_kv_heads=4, head_dim=32, rope_theta=10000.0,
+                      rms_eps=1e-6, num_experts=4, num_experts_per_tok=2)
+    qparams = quantize_model(
+        random_dense_params(cfg, seed=4), cfg,
+        default_calibration(cfg, p6=32, p8=32, seed=4))
+    layer = qparams["layers"][0]
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, cfg.hidden_size)), jnp.bfloat16)
+
+    ref = moe_block(x, layer, cfg)
+    for ep in (2, 4):
+        mesh = make_mesh(expert=ep, devices=jax.devices()[:ep])
+        got = ep_moe_forward_quant(
+            x.reshape(-1, cfg.hidden_size), layer["ln2"], layer["router"],
+            stack_quant_experts(layer["experts"]), cfg, mesh)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(ref.reshape(-1, cfg.hidden_size), np.float32),
+            rtol=3e-2, atol=3e-2)
