@@ -14,6 +14,7 @@ Prints exactly one JSON line:
 """
 
 import json
+import sys
 import time
 
 import numpy as np
@@ -25,6 +26,37 @@ M, N, K4, K6, K8 = 32, 4096, 3584, 256, 256
 K = K4 + K6 + K8
 ITERS = 256
 REF_TFLOPS = 5.5720  # mgemm/README.md:47 (RTX 5090, M=32 N=4096 K=4096)
+
+
+def validate() -> None:
+    """--validate: fused Pallas kernel vs the one-shot dequant + XLA dot
+    reference on identical quantized operands (the mxf4f6f8_bench.cu
+    --validate protocol, mgemm/benchmark/mxf4f6f8_bench.cu:253-309 — there
+    the custom TMA kernel is checked against the CUTLASS reference)."""
+    from micromix_tpu.kernels import mixed_matmul
+    from micromix_tpu.kernels.mixed_matmul import _mixed_matmul_dense
+    from micromix_tpu.mx.mxtensor import quantize_mixed
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (M, K)).astype(np.float32)
+    x[:, -K8:] *= 60.0
+    w = rng.normal(0, 0.3, (N, K)).astype(np.float32)
+    a = quantize_mixed(jnp.asarray(x), K4, K6, K8)
+    wq = quantize_mixed(jnp.asarray(w), K4, K6, K8, weight_fp4_only=True,
+                        pack_fp4=True)
+    got = np.asarray(jax.jit(
+        lambda a, w: mixed_matmul(a, w, prefill_threshold=1 << 30)
+    )(a, wq), np.float32)
+    ref = np.asarray(jax.jit(
+        lambda a, w: _mixed_matmul_dense(a, w, jnp.bfloat16)
+    )(a, wq), np.float32)
+    denom = np.maximum(np.abs(ref), 1.0)
+    rel = np.abs(got - ref) / denom
+    exact = float((got == ref).mean())
+    ok = rel.max() < 1e-2
+    print(f"max rel diff {rel.max():.3e}, exact-match {exact:.1%}")
+    print("GEMM VAL PASS!" if ok else "GEMM VAL FAIL!")
+    sys.exit(0 if ok else 1)
 
 
 def main() -> None:
@@ -82,4 +114,6 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if "--validate" in sys.argv:
+        validate()
     main()
