@@ -153,3 +153,42 @@ def test_preemption_on_page_exhaustion(rng):
     assert tight.preemptions > 0, "pool was never exhausted; test is vacuous"
     assert roomy.preemptions == 0
     assert tight_out == roomy_out
+
+
+def test_engine_mixtral_moe(rng):
+    """Continuous batching over a quantized Mixtral (MoE decode path)."""
+    from micromix_tpu.models import default_calibration, quantize_model
+
+    cfg = ModelConfig(arch="mixtral", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=32, rope_theta=10000.0,
+                      rms_eps=1e-6, num_experts=4, num_experts_per_tok=2)
+    params = quantize_model(
+        random_dense_params(cfg, seed=30), cfg,
+        default_calibration(cfg, p6=32, p8=32, seed=30))
+    eng = Engine(params, cfg, max_seqs=2, page_size=16, max_pages_per_seq=4,
+                 prefill_buckets=(16,), decode_chunk=2)
+    reqs = [Request(req_id=i, prompt=list(rng.integers(0, 64, 6)),
+                    max_new_tokens=4) for i in range(2)]
+    eng.run(reqs)
+    assert all(r.done and len(r.output) == 4 for r in reqs)
+    assert all(0 <= t < 64 for r in reqs for t in r.output)
+
+
+def test_engine_qwen2_sliding_window(rng):
+    """Qwen2 shape: qkv bias + sliding window through prefill and decode."""
+    from micromix_tpu.models import default_calibration, quantize_model
+
+    cfg = ModelConfig(arch="qwen2", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=32, rope_theta=10000.0,
+                      rms_eps=1e-6, qkv_bias=True, sliding_window=24)
+    params = quantize_model(
+        random_dense_params(cfg, seed=31), cfg,
+        default_calibration(cfg, p6=0, p8=0))
+    eng = Engine(params, cfg, max_seqs=2, page_size=16, max_pages_per_seq=4,
+                 prefill_buckets=(16, 32), decode_chunk=2)
+    reqs = [Request(req_id=i, prompt=list(rng.integers(0, 64, 20)),
+                    max_new_tokens=16) for i in range(2)]  # crosses window
+    eng.run(reqs)
+    assert all(r.done and len(r.output) == 16 for r in reqs)
