@@ -44,6 +44,12 @@ class Request:
 class _Slot:
     req: Optional[Request] = None
     pos: int = 0
+    # context tokens not yet prefilled (chunked prefill)
+    pending: List[int] = dataclasses.field(default_factory=list)
+
+    @property
+    def ready(self) -> bool:
+        return self.req is not None and not self.pending
 
 
 class Engine:
@@ -51,17 +57,19 @@ class Engine:
                  page_size: int = 128, max_pages_per_seq: int = 64,
                  n_pages: Optional[int] = None, kv_bits: int = 4,
                  prefill_buckets=(16, 32, 64, 128, 256, 512, 1024, 2048),
-                 decode_chunk: int = 8, seed: int = 0,
-                 step_fns=None, cache_sharding=None):
+                 decode_chunk: int = 8, prefill_chunk: Optional[int] = None,
+                 seed: int = 0, step_fns=None, cache_sharding=None):
         self.params = params
         self.cfg = cfg
         self.max_seqs = max_seqs
         self.page_size = page_size
         self.buckets = tuple(sorted(prefill_buckets))
         n_pages = n_pages or (max_seqs * max_pages_per_seq + 1)
+        # one extra scratch slot row: mid-prefill slots are pointed at it
+        # during batched decode so their real pages are never clobbered
         self.caches = [
             make_cache(n_pages, page_size, cfg.num_kv_heads, cfg.head_dim,
-                       max_seqs, max_pages_per_seq, bits=kv_bits)
+                       max_seqs + 1, max_pages_per_seq, bits=kv_bits)
             for _ in range(cfg.num_layers)
         ]
         if cache_sharding is not None:  # e.g. KV heads over a TP mesh
@@ -75,6 +83,14 @@ class Engine:
         self._base_key = jax.random.PRNGKey(seed)
         self._sample_step = 0
         self.decode_chunk = max(1, decode_chunk)
+        # chunked prefill: long prompts stream through the cache in
+        # bucket-sized chunks (bounds TTFT head-of-line blocking and lifts
+        # the max-bucket prompt limit).  Custom step_fns (TP serving) run
+        # single-shot prefill only.
+        self.prefill_chunk = min(prefill_chunk or self.buckets[-1],
+                                 self.buckets[-1])
+        self._chunked_ok = step_fns is None
+        self._prefill_cache: Dict[int, Any] = {}
         if step_fns is not None:
             # multi-chip serving: shard-mapped (prefill, decode, decode_multi)
             self._prefill, self._decode, self._decode_multi = step_fns
@@ -155,33 +171,64 @@ class Engine:
             if slot.req is not None or not self.waiting:
                 continue
             req = self.waiting.pop(0)
-            n = len(req.prompt) + len(req.output)
-            bucket = self._bucket(n)
-            try:
-                self._ensure_pages(slot_id, bucket)
-            except RuntimeError:
-                # pool exhausted: leave it queued until pages free up
-                self.waiting.insert(0, req)
-                return
-            toks = np.zeros((1, bucket), np.int32)
-            toks[0, :n] = req.prompt + req.output  # output non-empty after
-            # a preemption: recompute-from-context re-admission
-            logits, self.caches = self._prefill(
-                self.params, self.caches, jnp.asarray(toks),
-                jnp.int32(slot_id), jnp.int32(0), jnp.int32(n - 1))
-            # bucket padding wrote extra KV positions; reset length to n
-            # (they are masked out and later overwritten)
-            self.caches = [
-                dataclasses.replace(c, lengths=c.lengths.at[slot_id].set(n))
-                for c in self.caches
-            ]
+            # output is non-empty after a preemption: recompute-from-context
+            ctx = req.prompt + req.output
+            if not self._chunked_ok:
+                self._bucket(len(ctx))  # must fit one bucket (raises)
             slot.req = req
-            slot.pos = n
-            self.prefill_tokens += n
-            first = self._sample_from(logits, req)
+            slot.pos = 0
+            slot.pending = list(ctx)
+
+    def _prefill_for(self, hist_gather: int):
+        """Jitted prefill specialized on the (static) gathered-history len."""
+        if hist_gather == 0:
+            return self._prefill
+        if hist_gather not in self._prefill_cache:
+            cfg = self.cfg
+            self._prefill_cache[hist_gather] = jax.jit(
+                lambda p, c, t, sid, sp, li, h=hist_gather: prefill(
+                    p, cfg, c, t, sid, sp, li, hist_len=h))
+        return self._prefill_cache[hist_gather]
+
+    def _prefill_step(self, slot_id: int) -> bool:
+        """Run ONE prefill chunk for a pending slot.  False on page stall."""
+        slot = self.slots[slot_id]
+        chunk = slot.pending[:self.prefill_chunk]
+        n = len(chunk)
+        bucket = self._bucket(n)
+        try:
+            self._ensure_pages(slot_id, slot.pos + bucket)
+        except RuntimeError:
+            req = slot.req
+            self._release(slot_id)
+            self.waiting.insert(0, req)
+            return False
+        hist = slot.pos
+        hist_gather = -(-hist // self.page_size) * self.page_size \
+            if hist else 0
+        toks = np.zeros((1, bucket), np.int32)
+        toks[0, :n] = chunk
+        logits, self.caches = self._prefill_for(hist_gather)(
+            self.params, self.caches, jnp.asarray(toks),
+            jnp.int32(slot_id), jnp.int32(slot.pos), jnp.int32(n - 1))
+        # bucket padding wrote extra KV positions; reset length to the true
+        # count (padding is masked and later overwritten)
+        true_len = slot.pos + n
+        self.caches = [
+            dataclasses.replace(
+                c, lengths=c.lengths.at[slot_id].set(true_len))
+            for c in self.caches
+        ]
+        slot.pos = true_len
+        slot.pending = slot.pending[n:]
+        self.prefill_tokens += n
+        if not slot.pending:
+            first = self._sample_from(logits, slot.req)
             self.ttft.setdefault(
-                req.req_id, time.time() - self._t_submit[req.req_id])
+                slot.req.req_id,
+                time.time() - self._t_submit[slot.req.req_id])
             self._emit(slot_id, first)
+        return True
 
     def _sample_rows(self, logits, reqs: List[Optional[Request]]) -> np.ndarray:
         """One batched sampler dispatch for len(reqs) rows (None = greedy)."""
@@ -212,18 +259,28 @@ class Engine:
             self._release(slot_id)
 
     def step(self) -> bool:
-        """Admit + one decode chunk.  Returns True while work remains."""
+        """Admit, drive pending prefill chunks, one decode chunk."""
         self._admit()
-        active = [i for i, s in enumerate(self.slots) if s.req is not None]
-        if not active and not self.waiting:
+        # one prefill chunk per pending slot per step: decode of running
+        # sequences is never starved for more than one chunk's latency
+        for i, s in enumerate(self.slots):
+            if s.req is not None and s.pending:
+                if not self._prefill_step(i):
+                    break  # page stall; retry next step
+        active = [i for i, s in enumerate(self.slots) if s.ready]
+        busy = any(s.req is not None for s in self.slots)
+        if not active and not busy and not self.waiting:
             return False
         if not active:
             return True
         chunk = self.decode_chunk
         tokens = np.zeros((self.max_seqs,), np.int32)
         positions = np.zeros((self.max_seqs,), np.int32)
+        # mid-prefill / empty slots decode against the scratch row
+        seq_ids = np.full((self.max_seqs,), self.max_seqs, np.int32)
         for i, s in enumerate(self.slots):
-            if s.req is not None:
+            if s.ready:
+                seq_ids[i] = i
                 # pages for the whole chunk up front (writes happen
                 # in-graph); on exhaustion preempt other slots until the
                 # allocation fits (recompute-style, vLLM semantics)
@@ -241,8 +298,11 @@ class Engine:
                         v = min(victims,
                                 key=lambda j: len(self.slots[j].req.output))
                         self._preempt(v)
-                if s.req is None:
-                    continue  # slot itself was never filled (defensive)
+                        if self.slots[i].req is None:
+                            break
+                if not s.ready:
+                    seq_ids[i] = self.max_seqs
+                    continue
                 last = (s.req.output[-1] if s.req.output
                         else s.req.prompt[-1])
                 tokens[i] = last
@@ -251,8 +311,7 @@ class Engine:
         if chunk == 1:
             logits, self.caches = self._decode(
                 self.params, self.caches, jnp.asarray(tokens),
-                jnp.arange(self.max_seqs, dtype=jnp.int32),
-                jnp.asarray(positions))
+                jnp.asarray(seq_ids), jnp.asarray(positions))
             toks = self._sample_rows(logits,
                                      [s.req for s in self.slots])[None, :]
         else:
@@ -267,15 +326,15 @@ class Engine:
             self._sample_step += 1
             toks_dev, self.caches = self._decode_multi(
                 self.params, self.caches, jnp.asarray(tokens),
-                jnp.arange(self.max_seqs, dtype=jnp.int32),
-                jnp.asarray(positions), self._base_key,
+                jnp.asarray(seq_ids), jnp.asarray(positions),
+                self._base_key,
                 jnp.int32(self._sample_step), jnp.asarray(t),
                 jnp.asarray(k), jnp.asarray(p))
             toks = np.asarray(toks_dev)                  # (chunk, B)
         for j in range(toks.shape[0]):
             for i in active:
                 s = self.slots[i]
-                if s.req is None:
+                if not s.ready:
                     continue
                 s.pos += 1
                 self.decode_tokens += 1

@@ -32,7 +32,7 @@ from ..models.common import (
 )
 from ..ops.quantize_ops import silu_mul_quantize_x
 from .attention import paged_decode_attention
-from .kv_cache import PagedKVCache, append_kv
+from .kv_cache import PagedKVCache, append_kv, gather_kv
 
 Params = Dict[str, Any]
 Caches = List[PagedKVCache]
@@ -60,13 +60,20 @@ def _o_proj(attn_out, p):
 def prefill(params: Params, cfg: ModelConfig, caches: Caches,
             tokens: jnp.ndarray, seq_id: jnp.ndarray,
             start_pos: jnp.ndarray,
-            last_idx: Optional[jnp.ndarray] = None
-            ) -> Tuple[jnp.ndarray, Caches]:
+            last_idx: Optional[jnp.ndarray] = None, *,
+            hist_len: int = 0) -> Tuple[jnp.ndarray, Caches]:
     """tokens (1, S) -> (logits at ``last_idx`` (1, V), updated caches).
 
     Appends the new K/V (quantized) for positions [start_pos, start_pos+S).
     ``last_idx`` selects the true last prompt position when tokens are
     right-padded to a length bucket (defaults to S-1).
+
+    ``hist_len`` (static, multiple of page_size) enables CHUNKED prefill:
+    the chunk additionally attends over the first hist_len cached
+    (quantized) positions — entries at or beyond ``start_pos`` are masked,
+    so hist_len may over-cover to the page boundary.  In-chunk attention
+    stays exact bf16; cross-chunk attention reads the quantized cache,
+    matching what decode sees.
     """
     b, s = tokens.shape
     assert b == 1
@@ -74,6 +81,15 @@ def prefill(params: Params, cfg: ModelConfig, caches: Caches,
     positions = start_pos + jnp.arange(s)
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
     mask = causal_mask(s, s, cfg.sliding_window)
+    if hist_len:
+        qi = positions[:, None]                      # global query positions
+        kj = jnp.arange(hist_len)[None, :]
+        hist_allow = kj < start_pos
+        if cfg.sliding_window is not None:
+            hist_allow = jnp.logical_and(hist_allow,
+                                         kj > qi - cfg.sliding_window)
+        mask = jnp.concatenate(
+            [jnp.broadcast_to(hist_allow, (s, hist_len)), mask], axis=1)
     new_caches = []
     seq_ids = jnp.full((s,), seq_id, jnp.int32)
     for p, cache in zip(params["layers"], caches):
@@ -82,7 +98,12 @@ def prefill(params: Params, cfg: ModelConfig, caches: Caches,
         k = apply_rope(k, cos, sin)
         cache = append_kv(cache, seq_ids, positions, k[0], v[0])
         new_caches.append(cache)
-        if jax.default_backend() != "cpu":
+        if hist_len:
+            kh, vh = gather_kv(cache, seq_id, hist_len)      # (hist, Hkv, D)
+            k_full = jnp.concatenate([kh[None], k], axis=1)
+            v_full = jnp.concatenate([vh[None], v], axis=1)
+            out = attention(q, k_full, v_full, mask)
+        elif jax.default_backend() != "cpu":
             from ..kernels.flash_attention import flash_attention
             out = flash_attention(q, k, v,
                                   sliding_window=cfg.sliding_window)

@@ -192,3 +192,39 @@ def test_engine_qwen2_sliding_window(rng):
                     max_new_tokens=16) for i in range(2)]  # crosses window
     eng.run(reqs)
     assert all(r.done and len(r.output) == 16 for r in reqs)
+
+
+def test_chunked_prefill_matches_single_shot(rng):
+    """Prompt longer than the largest bucket streams through in chunks and
+    (with a dense bf16 KV cache, so gathered history is exact) produces the
+    same greedy output as a single-shot prefill with a big bucket."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=40)
+    prompt = list(rng.integers(0, cfg.vocab_size, 40))
+
+    def gen(buckets, chunk):
+        eng = Engine(params, cfg, max_seqs=1, page_size=16,
+                     max_pages_per_seq=8, prefill_buckets=buckets,
+                     decode_chunk=2, prefill_chunk=chunk, kv_bits=16)
+        req = Request(req_id=0, prompt=prompt, max_new_tokens=4)
+        eng.run([req])
+        return req.output
+
+    single = gen((64,), 64)          # whole prompt in one prefill
+    chunked = gen((16,), 16)         # 40 tokens -> 16 + 16 + 8
+    assert single == chunked
+
+
+def test_chunked_prefill_int4_kv(rng):
+    """Chunked prefill over the quantized cache: valid completion, correct
+    bookkeeping (prompt longer than the largest bucket previously raised)."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=41)
+    eng = Engine(params, cfg, max_seqs=2, page_size=16, max_pages_per_seq=8,
+                 prefill_buckets=(16,), decode_chunk=2)
+    reqs = [Request(req_id=i, prompt=list(rng.integers(0, cfg.vocab_size,
+                                                       30 + i)),
+                    max_new_tokens=4) for i in range(2)]
+    eng.run(reqs)
+    assert all(r.done and len(r.output) == 4 for r in reqs)
+    assert eng.prefill_tokens == sum(30 + i for i in range(2))
