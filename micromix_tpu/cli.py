@@ -69,7 +69,11 @@ def cmd_quantize(args) -> None:
     from .models.checkpoint import save_params
 
     cfg, params = _load_model(args)
-    params = _quantize(params, cfg, args)
+    if args.weight_only:
+        from .models.surgery import quantize_model_weight_only
+        params = quantize_model_weight_only(params, cfg, args.weight_only)
+    else:
+        params = _quantize(params, cfg, args)
     save_params(args.output, params, cfg,
                 meta={"source": args.model,
                       "calibration": args.calibration,
@@ -88,7 +92,11 @@ def cmd_eval(args) -> None:
         assert cfg is not None, "checkpoint has no ModelConfig"
     else:
         cfg, params = _load_model(args)
-        if args.do_quant:
+        if getattr(args, "weight_only", None):
+            from .models.surgery import quantize_model_weight_only
+            params = quantize_model_weight_only(params, cfg,
+                                                args.weight_only)
+        elif args.do_quant:
             params = _quantize(params, cfg, args)
     tok = _tokenizer(args)
 
@@ -193,6 +201,8 @@ def main(argv=None) -> None:
     q.add_argument("--no-smooth", dest="smooth", action="store_false")
     q.add_argument("--alpha", type=float, default=0.5)
     q.add_argument("--symmetric-weights", action="store_true")
+    q.add_argument("--weight-only", choices=("mxfp4", "mxfp6", "mxfp8"),
+                   default=None)
     q.add_argument("--output", default="saved/quantized")
     q.set_defaults(fn=cmd_quantize)
 
@@ -201,6 +211,9 @@ def main(argv=None) -> None:
     e.add_argument("--quantized-ckpt", default=None,
                    help="load a baked quantized checkpoint (skips surgery)")
     e.add_argument("--do-quant", action="store_true")
+    e.add_argument("--weight-only", choices=("mxfp4", "mxfp6", "mxfp8"),
+                   default=None,
+                   help="weight-only MX quantization (no calibration)")
     e.add_argument("--calibration", default="saved/calibration.npz")
     e.add_argument("--smooth", action="store_true", default=True)
     e.add_argument("--no-smooth", dest="smooth", action="store_false")

@@ -5,6 +5,7 @@ from .common import (
     ModelConfig,
     QuantLinear,
     QuantSite,
+    WeightOnlyLinear,
     quantize_int_group,
 )
 from .surgery import (
@@ -18,6 +19,7 @@ from .surgery import (
     identity_calibration,
     quantize_linear,
     quantize_model,
+    quantize_model_weight_only,
     random_dense_params,
 )
 from .checkpoint import load_params, save_params
@@ -28,6 +30,7 @@ __all__ = [
     "quantize_int_group", "forward",
     "SiteCalibration", "LayerCalib", "identity_calibration",
     "default_calibration", "quantize_linear", "quantize_model",
+    "quantize_model_weight_only", "WeightOnlyLinear",
     "random_dense_params",
     "ATTN_IN", "O_IN", "MLP_IN", "DOWN_IN",
     "save_params", "load_params",

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import ml_dtypes
 
 from ..mx.mxtensor import MixedTensor
-from .common import DenseLinear, ModelConfig, QuantLinear, QuantSite
+from .common import (DenseLinear, ModelConfig, QuantLinear,
+                     QuantSite, WeightOnlyLinear)
 
 FORMAT_VERSION = 1
 
@@ -38,6 +39,7 @@ _NODE_TYPES = {
                     ("fp4", "fp6", "fp8", "sf4", "sf6", "sf8"),
                     ("fp4_packed", "fp4_only")),
     "QuantLinear": (QuantLinear, ("w", "bias"), ()),
+    "WeightOnlyLinear": (WeightOnlyLinear, ("w", "bias"), ()),
     "DenseLinear": (DenseLinear, ("w", "bias"), ()),
     "QuantSite": (QuantSite, ("perm",), ("k4", "k6", "k8")),
 }

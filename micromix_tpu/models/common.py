@@ -88,6 +88,31 @@ jax.tree_util.register_dataclass(QuantLinear, data_fields=["w", "bias"],
 
 
 @dataclasses.dataclass(frozen=True)
+class WeightOnlyLinear:
+    """Weight-only MX quantization: packed MX weight, bf16 activations.
+
+    BASELINE.md config 1 (MXFP8 weight-only): no activation quantization,
+    no calibration needed — the weight is dequantized to exact bf16 in the
+    matmul (one-shot on the MXU path).  4-8x weight HBM saving with near-
+    lossless accuracy; the on-ramp mode before full mixed-precision.
+    """
+
+    w: MixedTensor       # (out_features, K) quantized
+    bias: Optional[jnp.ndarray] = None
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        wd = dequantize_mixed(self.w, dtype=jnp.bfloat16)
+        y = jnp.dot(x, wd.T, preferred_element_type=jnp.float32)
+        if self.bias is not None:
+            y = y + self.bias
+        return y.astype(jnp.bfloat16)
+
+
+jax.tree_util.register_dataclass(WeightOnlyLinear,
+                                 data_fields=["w", "bias"], meta_fields=[])
+
+
+@dataclasses.dataclass(frozen=True)
 class DenseLinear:
     """bf16 reference linear (quantization off, for A/B numeric testing)."""
 

@@ -198,6 +198,55 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
     }
 
 
+_WEIGHT_ONLY_BUDGETS = {"mxfp4": lambda k: (k, 0, 0),
+                        "mxfp6": lambda k: (0, k, 0),
+                        "mxfp8": lambda k: (0, 0, k)}
+
+
+def quantize_model_weight_only(params: Dict[str, Any], cfg: ModelConfig,
+                               fmt: str = "mxfp8") -> Dict[str, Any]:
+    """Weight-only MX quantization (BASELINE.md config 1).
+
+    Every decoder-layer linear becomes a WeightOnlyLinear holding the whole
+    K axis in one MX format (symmetric — the weight keeps its own format,
+    not the all-MXFP4 mode); activations stay bf16, no calibration, no
+    channel reorder.  Router / embeddings / norms / head stay bf16.
+    """
+    from .common import WeightOnlyLinear
+
+    budget = _WEIGHT_ONLY_BUDGETS[fmt]
+
+    def conv(lin):
+        n, k = lin.w.shape
+        wq = quantize_mixed(lin.w.astype(jnp.float32), *budget(k),
+                            weight_fp4_only=False, pack_fp4=(fmt == "mxfp4"))
+        return WeightOnlyLinear(
+            w=wq,
+            bias=None if lin.bias is None else lin.bias.astype(jnp.bfloat16))
+
+    def layer(p):
+        out = {"ln1": p["ln1"], "ln2": p["ln2"]}
+        for name in ("q", "k", "v", "o"):
+            out[name] = conv(p[name])
+        if cfg.is_moe:
+            out["router"] = p["router"]
+            out["experts"] = [
+                {n: conv(ep[n]) for n in ("w1", "w3", "w2")}
+                for ep in p["experts"]
+            ]
+        else:
+            for name in ("gate", "up", "down"):
+                out[name] = conv(p[name])
+        return out
+
+    return {
+        "embed": params["embed"],
+        "final_ln": params["final_ln"],
+        "lm_head": params["lm_head"],
+        "layers": [layer(p) for p in params["layers"]],
+    }
+
+
 def default_calibration(cfg: ModelConfig, p6: int = 0, p8: int = 0,
                         seed: Optional[int] = None) -> List[LayerCalib]:
     """Identity (or seeded-random) calibration for tests and weight-only

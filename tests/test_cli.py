@@ -74,6 +74,12 @@ def test_cli_calibrate_quantize_eval_serve(ckpt, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "perplexity" in out
 
+    main(["eval", "--model", ckpt, "--weight-only", "mxfp8",
+          "--eval-ppl", "synthetic", "--seqlen", "32",
+          "--log-dir", str(tmp_path / "results")])
+    out = capsys.readouterr().out
+    assert "perplexity" in out
+
     prompts = tmp_path / "prompts.txt"
     prompts.write_text("w1 w2 w3\nw4 w5\n")
     main(["serve", "--model", ckpt, "--quantized-ckpt", qdir,

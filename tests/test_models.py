@@ -106,3 +106,56 @@ def test_identity_vs_random_reorder_equivalent_dense_math(rng):
     unperm[:, perm] = wdq
     rel = np.linalg.norm(unperm - np.asarray(w)) / np.linalg.norm(np.asarray(w))
     assert rel < 0.2
+
+
+def test_weight_only_mxfp8_close_to_dense(rng):
+    """BASELINE config 1: MXFP8 weight-only is near-lossless vs bf16."""
+    import numpy as np
+    import jax.numpy as jnp
+    from micromix_tpu.models import (
+        ModelConfig, forward, quantize_model_weight_only,
+        random_dense_params)
+
+    cfg = ModelConfig(arch="llama", vocab_size=128, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=32, rope_theta=10000.0,
+                      rms_eps=1e-6)
+    dense = random_dense_params(cfg, seed=50)
+    tokens = jnp.asarray(
+        np.random.default_rng(1).integers(0, cfg.vocab_size, (1, 16)),
+        jnp.int32)
+    ref = np.asarray(forward(dense, cfg, tokens))
+    for fmt, tol in (("mxfp8", 0.15), ("mxfp6", 0.3), ("mxfp4", 2.5)):
+        wq = quantize_model_weight_only(dense, cfg, fmt)
+        out = np.asarray(forward(wq, cfg, tokens))
+        err = np.abs(out - ref).max()
+        assert err < tol, (fmt, err)
+    # error ordering sanity: more bits -> closer to bf16
+    e = {}
+    for fmt in ("mxfp8", "mxfp6", "mxfp4"):
+        out = np.asarray(forward(
+            quantize_model_weight_only(dense, cfg, fmt), cfg, tokens))
+        e[fmt] = float(np.abs(out - ref).mean())
+    assert e["mxfp8"] < e["mxfp6"] < e["mxfp4"], e
+
+
+def test_weight_only_checkpoint_roundtrip(tmp_path, rng):
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from micromix_tpu.models import (
+        ModelConfig, forward, load_params, quantize_model_weight_only,
+        random_dense_params, save_params)
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=1, num_heads=2,
+                      num_kv_heads=2, head_dim=64, rope_theta=10000.0,
+                      rms_eps=1e-6)
+    wq = quantize_model_weight_only(random_dense_params(cfg, seed=51), cfg)
+    save_params(str(tmp_path / "wo"), wq, cfg)
+    loaded, cfg2, _ = load_params(str(tmp_path / "wo"))
+    assert cfg2 == cfg
+    tokens = jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(forward(wq, cfg, tokens)),
+        np.asarray(forward(loaded, cfg, tokens)))
