@@ -1,0 +1,133 @@
+"""Flagship serving benchmark: 8B-shaped quantized model, one v5e chip.
+
+BASELINE.md north-star metric (tokens/sec/chip at Llama-3-8B MXFP4/6/8):
+builds a Llama-3-8B-shaped model (32 layers, H=4096, I=14336, 32 heads /
+8 KV heads) with random weights, quantizes it layer-by-layer on the host
+via the native mxpack quantizer (dense f32 never touches HBM; packed
+weights ≈ 4.2 GB), and drives the continuous-batching engine.
+
+Usage: python benchmarks/bench_8b_decode.py [--quick] [--batch N]
+       [--new-tokens N]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(_HERE))
+sys.path.insert(0, str(_HERE.parent))  # repo root for micromix_tpu
+from timing import common_parser, emit  # noqa: E402
+
+
+def build_quantized(cfg, p6: int, p8: int, seed: int = 0):
+    """Stream-build the quantized pytree: per-layer host quantization."""
+    from micromix_tpu.models.common import DenseLinear
+    from micromix_tpu.models.surgery import (
+        ATTN_IN, DOWN_IN, MLP_IN, O_IN, SiteCalibration, quantize_layer)
+
+    rng = np.random.default_rng(seed)
+    hid, inter = cfg.hidden_size, cfg.intermediate_size
+    odim = cfg.num_heads * cfg.head_dim
+    kvdim = cfg.num_kv_heads * cfg.head_dim
+
+    def calib(k):
+        return SiteCalibration(np.arange(k, dtype=np.int32), p6, p8)
+
+    layer_calib = {ATTN_IN: calib(hid), O_IN: calib(odim),
+                   MLP_IN: calib(hid), DOWN_IN: calib(inter)}
+
+    def lin(n, k):
+        # np-backed DenseLinear: the host quantizer reads it directly
+        return DenseLinear(
+            w=rng.normal(0, 1.0 / np.sqrt(k), (n, k)).astype(np.float32),
+            bias=None)
+
+    layers = []
+    t0 = time.perf_counter()
+    for i in range(cfg.num_layers):
+        p = {
+            "ln1": jnp.ones((hid,), jnp.bfloat16),
+            "ln2": jnp.ones((hid,), jnp.bfloat16),
+            "q": lin(odim, hid), "k": lin(kvdim, hid),
+            "v": lin(kvdim, hid), "o": lin(hid, odim),
+            "gate": lin(inter, hid), "up": lin(inter, hid),
+            "down": lin(hid, inter),
+        }
+        layers.append(quantize_layer(p, cfg, layer_calib, host=True))
+        print(f"\rquantized layer {i + 1}/{cfg.num_layers} "
+              f"({time.perf_counter() - t0:.1f}s)", end="", flush=True,
+              file=sys.stderr)
+    print(file=sys.stderr)
+    embed = jnp.asarray(
+        rng.normal(0, 0.02, (cfg.vocab_size, hid)), jnp.bfloat16)
+    return {
+        "embed": embed,
+        "final_ln": jnp.ones((hid,), jnp.bfloat16),
+        "lm_head": jnp.asarray(
+            rng.normal(0, 0.02, (cfg.vocab_size, hid)), jnp.bfloat16),
+        "layers": layers,
+    }
+
+
+def main(argv=None) -> None:
+    p = common_parser(__doc__)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--new-tokens", type=int, default=64)
+    args = p.parse_args(argv)
+
+    from micromix_tpu.models import ModelConfig
+    from micromix_tpu.serve import Engine, Request
+
+    if args.quick:
+        cfg = ModelConfig(arch="llama", vocab_size=512, hidden_size=512,
+                          intermediate_size=1024, num_layers=2, num_heads=4,
+                          num_kv_heads=2, head_dim=128, rope_theta=5e5,
+                          rms_eps=1e-5)
+        p6 = p8 = 128
+        args.batch, args.new_tokens = 2, 4
+    else:
+        cfg = ModelConfig(arch="llama", vocab_size=32000, hidden_size=4096,
+                          intermediate_size=14336, num_layers=32,
+                          num_heads=32, num_kv_heads=8, head_dim=128,
+                          rope_theta=5e5, rms_eps=1e-5)
+        p6 = p8 = 256
+
+    params = build_quantized(cfg, p6, p8)
+    eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
+                 max_pages_per_seq=16, prefill_buckets=(16, 32),
+                 decode_chunk=8)
+    rng = np.random.default_rng(0)
+    reqs = [Request(req_id=i,
+                    prompt=list(rng.integers(0, cfg.vocab_size, 12)),
+                    max_new_tokens=args.new_tokens)
+            for i in range(args.batch)]
+    # warm/compile on a throwaway request
+    eng.run([Request(req_id=-1, prompt=[1, 2, 3], max_new_tokens=2)])
+    eng.prefill_tokens = eng.decode_tokens = 0
+
+    t0 = time.perf_counter()
+    eng.run(reqs)
+    dt = time.perf_counter() - t0
+    n_params = sum(
+        int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    emit(f"8B-shape decode tokens/s/chip B={args.batch} "
+         f"L={cfg.num_layers} H={cfg.hidden_size}",
+         eng.decode_tokens / dt, "tokens/s",
+         decode_tokens=eng.decode_tokens, wall_s=round(dt, 3),
+         ms_per_token_step=round(1e3 * dt * args.batch /
+                                 max(eng.decode_tokens, 1), 2),
+         approx_packed_gb=round(sum(
+             x.size * x.dtype.itemsize
+             for x in jax.tree_util.tree_leaves(params)) / 2**30, 2))
+
+
+if __name__ == "__main__":
+    main()

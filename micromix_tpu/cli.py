@@ -163,7 +163,12 @@ def cmd_serve(args) -> None:
         for i, p in enumerate(prompts)
     ]
     t0 = time.time()
-    eng.run(reqs)
+    if args.profile:
+        from .utils.profiling import trace
+        with trace(args.profile):
+            eng.run(reqs)
+    else:
+        eng.run(reqs)
     dt = time.time() - t0
     for r in reqs:
         print(f"--- [{r.req_id}] ---")
@@ -245,6 +250,8 @@ def main(argv=None) -> None:
     s.add_argument("--page-size", type=int, default=128)
     s.add_argument("--kv-bits", type=int, default=4)
     s.add_argument("--decode-chunk", type=int, default=8)
+    s.add_argument("--profile", default=None, metavar="LOGDIR",
+                   help="capture a jax.profiler trace of the run")
     s.add_argument("--temperature", type=float, default=0.0)
     s.add_argument("--top-k", type=int, default=0)
     s.add_argument("--top-p", type=float, default=1.0)
