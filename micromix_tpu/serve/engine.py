@@ -25,7 +25,7 @@ from ..models.common import ModelConfig
 from .block_manager import BlockManager
 from .kv_cache import PagedKVCache, make_cache
 from .runner import decode_multi, decode_step, prefill
-from .sampling import SamplingParams, sample_batch
+from .sampling import SamplingParams, pick_sample_mode, sample_batch
 
 
 @dataclasses.dataclass
@@ -91,9 +91,10 @@ class Engine:
                                  self.buckets[-1])
         self._chunked_ok = step_fns is None
         self._prefill_cache: Dict[int, Any] = {}
+        self._custom_decode_multi = None
         if step_fns is not None:
             # multi-chip serving: shard-mapped (prefill, decode, decode_multi)
-            self._prefill, self._decode, self._decode_multi = step_fns
+            self._prefill, self._decode, self._custom_decode_multi = step_fns
         else:
             self._prefill = jax.jit(
                 lambda p, c, t, sid, sp, li: prefill(p, cfg, c, t, sid, sp,
@@ -101,21 +102,37 @@ class Engine:
             self._decode = jax.jit(
                 lambda p, c, t, sid, pos: decode_step(p, cfg, c, t, sid,
                                                       pos))
-            self._decode_multi = jax.jit(
-                lambda p, c, t, sid, pos, key, step, tt, kk, tp: decode_multi(
-                    p, cfg, c, t, sid, pos, jax.random.fold_in(key, step),
-                    tt, kk, tp, n_steps=self.decode_chunk))
-        # one jitted dispatch samples every slot (heterogeneous params);
-        # per-slot eager sampling costs a tunnel RPC per op on axon
-        self._sampler = jax.jit(
-            lambda lg, key, step, t, k, tp: sample_batch(
-                lg, jax.random.fold_in(key, step), t, k, tp))
+        # samplers and chunked-decode programs are specialized per sample
+        # MODE (greedy/temp | top-k | full nucleus): the full path sorts the
+        # whole vocab (~100 ms at V=32k) and must only compile in when a
+        # request actually uses top-p
+        self._sampler_cache: Dict[str, Any] = {}
+        self._decode_multi_cache: Dict[str, Any] = {}
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0
         self.preemptions = 0
         self.ttft: Dict[int, float] = {}
         self._t_submit: Dict[int, float] = {}
+
+    def _sampler_for(self, mode: str):
+        if mode not in self._sampler_cache:
+            self._sampler_cache[mode] = jax.jit(
+                lambda lg, key, step, t, k, tp, m=mode: sample_batch(
+                    lg, jax.random.fold_in(key, step), t, k, tp, mode=m))
+        return self._sampler_cache[mode]
+
+    def _decode_multi_for(self, mode: str):
+        if self._custom_decode_multi is not None:
+            return self._custom_decode_multi
+        if mode not in self._decode_multi_cache:
+            cfg = self.cfg
+            self._decode_multi_cache[mode] = jax.jit(
+                lambda p, c, t, sid, pos, key, step, tt, kk, tp, m=mode:
+                decode_multi(
+                    p, cfg, c, t, sid, pos, jax.random.fold_in(key, step),
+                    tt, kk, tp, n_steps=self.decode_chunk, sample_mode=m))
+        return self._decode_multi_cache[mode]
 
     # ---------------- host-side page-table management ----------------
 
@@ -241,9 +258,10 @@ class Engine:
                 k[i] = r.sampling.top_k
                 p[i] = r.sampling.top_p
         self._sample_step += 1
-        toks = self._sampler(logits, self._base_key,
-                             jnp.int32(self._sample_step), jnp.asarray(t),
-                             jnp.asarray(k), jnp.asarray(p))
+        mode = pick_sample_mode([r.sampling for r in reqs if r is not None])
+        toks = self._sampler_for(mode)(
+            logits, self._base_key, jnp.int32(self._sample_step),
+            jnp.asarray(t), jnp.asarray(k), jnp.asarray(p))
         return np.asarray(toks)
 
     def _sample_from(self, logits, req: Request):
@@ -324,7 +342,9 @@ class Engine:
                     k[i] = s.req.sampling.top_k
                     p[i] = s.req.sampling.top_p
             self._sample_step += 1
-            toks_dev, self.caches = self._decode_multi(
+            mode = pick_sample_mode(
+                [s.req.sampling for s in self.slots if s.req is not None])
+            toks_dev, self.caches = self._decode_multi_for(mode)(
                 self.params, self.caches, jnp.asarray(tokens),
                 jnp.asarray(seq_ids), jnp.asarray(positions),
                 self._base_key,

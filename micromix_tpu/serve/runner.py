@@ -153,7 +153,8 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
                  positions: jnp.ndarray, key: jax.Array,
                  temps: jnp.ndarray, top_k: jnp.ndarray,
                  top_p: jnp.ndarray, *, n_steps: int,
-                 step_fn=None) -> Tuple[jnp.ndarray, Caches]:
+                 step_fn=None, sample_mode: str = "full"
+                 ) -> Tuple[jnp.ndarray, Caches]:
     """``n_steps`` decode+sample steps in ONE program (lax.scan).
 
     Amortizes host dispatch over a chunk of steps — on the axon tunnel a
@@ -174,7 +175,7 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
         caches, toks, pos = carry
         logits, caches = step_fn(params, cfg, caches, toks, seq_ids, pos)
         nxt = sample_batch(logits, jax.random.fold_in(key, i),
-                           temps, top_k, top_p)
+                           temps, top_k, top_p, mode=sample_mode)
         return (caches, nxt, pos + 1), nxt
 
     (caches, _, _), out = jax.lax.scan(

@@ -42,16 +42,40 @@ def sample(logits: jnp.ndarray, key: jax.Array,
 
 def sample_batch(logits: jnp.ndarray, key: jax.Array,
                  temperature: jnp.ndarray, top_k: jnp.ndarray,
-                 top_p: jnp.ndarray) -> jnp.ndarray:
+                 top_p: jnp.ndarray, *, mode: str = "full") -> jnp.ndarray:
     """Heterogeneous per-row sampling in ONE program.
 
     logits (B, V); temperature/top_k/top_p (B,) arrays (top_k<=0 and
     top_p>=1 disable the respective filter; temperature<=0 -> greedy).
     One jitted dispatch per engine step regardless of batch size — per-slot
     eager sampling costs a tunnel round-trip per op on the axon backend.
+
+    ``mode`` (static) picks the cheapest program that covers the active
+    sampling params — a full vocab argsort costs ~100 ms at V=32k on v5e
+    and must not run when nobody asked for top-p:
+
+      * "simple": greedy / temperature only (argmax + categorical)
+      * "topk":   + top-k filter via lax.top_k (k <= _TOPK_WIDTH)
+      * "full":   + top-p (nucleus) — needs the full descending sort
     """
     x = logits.astype(jnp.float32)
     b, v = x.shape
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    greedy = jnp.argmax(x, axis=-1).astype(jnp.int32)
+
+    if mode == "simple":
+        drawn = jax.random.categorical(key, x / t, axis=-1).astype(jnp.int32)
+        return jnp.where(temperature <= 0.0, greedy, drawn)
+
+    if mode == "topk":
+        kmax = min(_TOPK_WIDTH, v)
+        vals, _ = jax.lax.top_k(x, kmax)                       # (B, kmax) desc
+        k_idx = jnp.clip(jnp.where(top_k > 0, top_k, kmax) - 1, 0, kmax - 1)
+        kth = jnp.take_along_axis(vals, k_idx[:, None], axis=-1)
+        xm = jnp.where(x < kth, -jnp.inf, x)
+        drawn = jax.random.categorical(key, xm / t, axis=-1).astype(jnp.int32)
+        return jnp.where(temperature <= 0.0, greedy, drawn)
+
     order = jnp.argsort(x, axis=-1)[:, ::-1]            # descending
     sx = jnp.take_along_axis(x, order, axis=-1)
     rank = jnp.arange(v)[None, :]
@@ -59,7 +83,6 @@ def sample_batch(logits: jnp.ndarray, key: jax.Array,
     k_arr = jnp.where(top_k > 0, top_k, v)[:, None]
     keep = rank < k_arr
     # top-p over the temperature-scaled distribution
-    t = jnp.maximum(temperature, 1e-6)[:, None]
     probs = jax.nn.softmax(sx / t, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     cutoff = jnp.sum(cum < top_p[:, None], axis=-1, keepdims=True)
@@ -67,5 +90,17 @@ def sample_batch(logits: jnp.ndarray, key: jax.Array,
     masked = jnp.where(keep, sx / t, -jnp.inf)
     drawn_sorted = jax.random.categorical(key, masked, axis=-1)
     drawn = jnp.take_along_axis(order, drawn_sorted[:, None], axis=-1)[:, 0]
-    greedy = order[:, 0]
-    return jnp.where(temperature <= 0.0, greedy, drawn).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, order[:, 0], drawn).astype(jnp.int32)
+
+
+_TOPK_WIDTH = 128
+
+
+def pick_sample_mode(sampling_params) -> str:
+    """Cheapest sample_batch mode covering the given SamplingParams list."""
+    ps = [p for p in sampling_params if p is not None]
+    if any(p.top_p < 1.0 or p.top_k > _TOPK_WIDTH for p in ps):
+        return "full"
+    if any(p.top_k > 0 for p in ps):
+        return "topk"
+    return "simple"
