@@ -228,3 +228,34 @@ def test_chunked_prefill_int4_kv(rng):
     eng.run(reqs)
     assert all(r.done and len(r.output) == 4 for r in reqs)
     assert eng.prefill_tokens == sum(30 + i for i in range(2))
+
+
+def test_sample_batch_modes(rng):
+    """Mode-specialized samplers agree with the full path where defined."""
+    from micromix_tpu.serve.sampling import pick_sample_mode, sample_batch
+
+    logits = jnp.asarray(rng.normal(0, 3, (4, 256)), jnp.float32)
+    key = jax.random.PRNGKey(1)
+    temps0 = jnp.zeros((4,))
+    z = jnp.zeros((4,), jnp.int32)
+    ones = jnp.ones((4,))
+    # greedy identical across all modes
+    outs = [np.asarray(sample_batch(logits, key, temps0, z, ones, mode=m))
+            for m in ("simple", "topk", "full")]
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
+    # topk mode: draws land inside the top-k set
+    k = jnp.full((4,), 5, jnp.int32)
+    draws = np.asarray(sample_batch(logits, key, ones, k, ones, mode="topk"))
+    top5 = np.argsort(np.asarray(logits), axis=-1)[:, -5:]
+    for i in range(4):
+        assert draws[i] in top5[i]
+    # mode picker
+    gp = SamplingParams()
+    assert pick_sample_mode([gp]) == "simple"
+    assert pick_sample_mode([SamplingParams(temperature=1.0, top_k=5)]) == \
+        "topk"
+    assert pick_sample_mode([SamplingParams(temperature=1.0, top_p=0.9)]) == \
+        "full"
+    assert pick_sample_mode(
+        [SamplingParams(temperature=1.0, top_k=4096)]) == "full"
