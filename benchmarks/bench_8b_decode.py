@@ -27,8 +27,14 @@ sys.path.insert(0, str(_HERE.parent))  # repo root for micromix_tpu
 from timing import common_parser, emit  # noqa: E402
 
 
-def build_quantized(cfg, p6: int, p8: int, seed: int = 0):
-    """Stream-build the quantized pytree: per-layer host quantization."""
+def build_quantized(cfg, p6: int, p8: int, seed: int = 0,
+                    share_layers: bool = False):
+    """Stream-build the quantized pytree: per-layer host quantization.
+
+    share_layers=True quantizes ONE layer and aliases it across the stack —
+    HBM traffic per step is identical (every layer still reads its weights)
+    but build time drops ~30x.  Capacity claims need share_layers=False.
+    """
     from micromix_tpu.models.common import DenseLinear
     from micromix_tpu.models.surgery import (
         ATTN_IN, DOWN_IN, MLP_IN, O_IN, SiteCalibration, quantize_layer)
@@ -52,7 +58,8 @@ def build_quantized(cfg, p6: int, p8: int, seed: int = 0):
 
     layers = []
     t0 = time.perf_counter()
-    for i in range(cfg.num_layers):
+    n_build = 1 if share_layers else cfg.num_layers
+    for i in range(n_build):
         p = {
             "ln1": jnp.ones((hid,), jnp.bfloat16),
             "ln2": jnp.ones((hid,), jnp.bfloat16),
@@ -62,10 +69,12 @@ def build_quantized(cfg, p6: int, p8: int, seed: int = 0):
             "down": lin(hid, inter),
         }
         layers.append(quantize_layer(p, cfg, layer_calib, host=True))
-        print(f"\rquantized layer {i + 1}/{cfg.num_layers} "
+        print(f"\rquantized layer {i + 1}/{n_build} "
               f"({time.perf_counter() - t0:.1f}s)", end="", flush=True,
               file=sys.stderr)
     print(file=sys.stderr)
+    if share_layers:
+        layers = layers * cfg.num_layers
     embed = jnp.asarray(
         rng.normal(0, 0.02, (cfg.vocab_size, hid)), jnp.bfloat16)
     return {
@@ -81,6 +90,9 @@ def main(argv=None) -> None:
     p = common_parser(__doc__)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--new-tokens", type=int, default=64)
+    p.add_argument("--share-layers", action="store_true",
+                   help="alias one quantized layer across the stack "
+                        "(same per-step HBM traffic, ~30x faster build)")
     args = p.parse_args(argv)
 
     from micromix_tpu.models import ModelConfig
@@ -100,7 +112,7 @@ def main(argv=None) -> None:
                           rope_theta=5e5, rms_eps=1e-5)
         p6 = p8 = 256
 
-    params = build_quantized(cfg, p6, p8)
+    params = build_quantized(cfg, p6, p8, share_layers=args.share_layers)
     eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
                  max_pages_per_seq=16, prefill_buckets=(16, 32),
                  decode_chunk=8)
@@ -113,17 +125,31 @@ def main(argv=None) -> None:
     eng.run([Request(req_id=-1, prompt=[1, 2, 3], max_new_tokens=2)])
     eng.prefill_tokens = eng.decode_tokens = 0
 
+    # phase 1: admit + prefill everything (TTFT covers this)
+    for r in reqs:
+        eng.submit(r)
     t0 = time.perf_counter()
-    eng.run(reqs)
+    while any(s.req is not None and s.pending for s in eng.slots) \
+            or (eng.waiting and any(s.req is None for s in eng.slots)):
+        eng._admit()
+        for i, s in enumerate(eng.slots):
+            if s.req is not None and s.pending:
+                eng._prefill_step(i)
+    prefill_s = time.perf_counter() - t0
+    # phase 2: decode-only steady state
+    t0 = time.perf_counter()
+    while eng.step():
+        pass
     dt = time.perf_counter() - t0
     n_params = sum(
         int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
     emit(f"8B-shape decode tokens/s/chip B={args.batch} "
          f"L={cfg.num_layers} H={cfg.hidden_size}",
          eng.decode_tokens / dt, "tokens/s",
-         decode_tokens=eng.decode_tokens, wall_s=round(dt, 3),
-         ms_per_token_step=round(1e3 * dt * args.batch /
-                                 max(eng.decode_tokens, 1), 2),
+         decode_tokens=eng.decode_tokens, decode_s=round(dt, 3),
+         prefill_s=round(prefill_s, 3),
+         ms_per_decode_step=round(1e3 * dt * args.batch /
+                                  max(eng.decode_tokens, 1), 2),
          approx_packed_gb=round(sum(
              x.size * x.dtype.itemsize
              for x in jax.tree_util.tree_leaves(params)) / 2**30, 2))
