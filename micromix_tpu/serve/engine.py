@@ -108,6 +108,29 @@ class Engine:
         # request actually uses top-p
         self._sampler_cache: Dict[str, Any] = {}
         self._decode_multi_cache: Dict[str, Any] = {}
+        # cache-metadata updates touch every layer's pytree: do each as ONE
+        # jitted dispatch (32 eager .at[].set calls per event cost a tunnel
+        # RPC each on axon)
+        self._set_row = jax.jit(
+            lambda cs, slot, row: [
+                dataclasses.replace(
+                    c, page_table=c.page_table.at[slot].set(row))
+                for c in cs
+            ])
+        self._set_len = jax.jit(
+            lambda cs, slot, n: [
+                dataclasses.replace(c, lengths=c.lengths.at[slot].set(n))
+                for c in cs
+            ])
+        self._clear_slot = jax.jit(
+            lambda cs, slot: [
+                dataclasses.replace(
+                    c,
+                    lengths=c.lengths.at[slot].set(0),
+                    page_table=c.page_table.at[slot].set(
+                        jnp.zeros((c.max_pages_per_seq,), jnp.int32)))
+                for c in cs
+            ])
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0
@@ -141,24 +164,13 @@ class Engine:
         row_np = self.block_manager.ensure(slot_id, needed_tokens)
         if self.block_manager.num_pages(slot_id) == before:
             return  # table unchanged; skip the device update
-        row = jnp.asarray(row_np)
-        self.caches = [
-            dataclasses.replace(
-                c, page_table=c.page_table.at[slot_id].set(row))
-            for c in self.caches
-        ]
+        self.caches = self._set_row(self.caches, jnp.int32(slot_id),
+                                    jnp.asarray(row_np))
 
     def _release(self, slot_id: int) -> None:
         self.block_manager.release(slot_id)
         self.slots[slot_id] = _Slot()
-        self.caches = [
-            dataclasses.replace(
-                c,
-                lengths=c.lengths.at[slot_id].set(0),
-                page_table=c.page_table.at[slot_id].set(
-                    jnp.zeros((c.max_pages_per_seq,), jnp.int32)))
-            for c in self.caches
-        ]
+        self.caches = self._clear_slot(self.caches, jnp.int32(slot_id))
 
     # ---------------- scheduling ----------------
 
@@ -231,11 +243,8 @@ class Engine:
         # bucket padding wrote extra KV positions; reset length to the true
         # count (padding is masked and later overwritten)
         true_len = slot.pos + n
-        self.caches = [
-            dataclasses.replace(
-                c, lengths=c.lengths.at[slot_id].set(true_len))
-            for c in self.caches
-        ]
+        self.caches = self._set_len(self.caches, jnp.int32(slot_id),
+                                    jnp.int32(true_len))
         slot.pos = true_len
         slot.pending = slot.pending[n:]
         self.prefill_tokens += n
