@@ -90,6 +90,7 @@ def main(argv=None) -> None:
     p = common_parser(__doc__)
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--new-tokens", type=int, default=64)
+    p.add_argument("--decode-chunk", type=int, default=8)
     p.add_argument("--share-layers", action="store_true",
                    help="alias one quantized layer across the stack "
                         "(same per-step HBM traffic, ~30x faster build)")
@@ -115,7 +116,7 @@ def main(argv=None) -> None:
     params = build_quantized(cfg, p6, p8, share_layers=args.share_layers)
     eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
                  max_pages_per_seq=16, prefill_buckets=(16, 32),
-                 decode_chunk=8)
+                 decode_chunk=args.decode_chunk)
     rng = np.random.default_rng(0)
     reqs = [Request(req_id=i,
                     prompt=list(rng.integers(0, cfg.vocab_size, 12)),
