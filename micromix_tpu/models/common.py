@@ -54,6 +54,16 @@ class ModelConfig:
     num_experts: int = 0              # Mixtral: 8
     num_experts_per_tok: int = 0      # Mixtral: 2
     max_position_embeddings: int = 32768
+    # RoPE frequency scaling (Llama 3.1+ checkpoints):
+    #   ("llama3", factor, low_freq_factor, high_freq_factor, orig_max_pos)
+    #   ("linear", factor)
+    rope_scaling: Optional[Tuple] = None
+
+    def __post_init__(self):
+        if self.rope_scaling is not None:
+            # JSON round-trips tuples as lists; normalize for equality
+            object.__setattr__(self, "rope_scaling",
+                               tuple(self.rope_scaling))
 
     @property
     def is_moe(self) -> bool:
@@ -188,11 +198,39 @@ def quantize_int_group(x: jnp.ndarray, nbits: int = 4,
 # ---------------------------------------------------------------------------
 
 
-def rope_table(positions: jnp.ndarray, head_dim: int,
-               theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """positions (S,) -> (cos, sin) each (S, head_dim)."""
+def rope_inv_freq(head_dim: int, theta: float,
+                  rope_scaling: Optional[Tuple] = None) -> jnp.ndarray:
+    """Per-pair inverse frequencies (head_dim//2,), with optional scaling.
+
+    "llama3" implements HF's _compute_llama3_parameters rule (Llama 3.1+
+    checkpoints ship rope_scaling; ignoring it breaks long-range numerics).
+    """
     inv = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
                            / head_dim))
+    if rope_scaling is None:
+        return inv
+    kind = rope_scaling[0]
+    if kind == "linear":
+        return inv / float(rope_scaling[1])
+    if kind == "llama3":
+        _, factor, low_f, high_f, orig_max = rope_scaling
+        factor, low_f, high_f = float(factor), float(low_f), float(high_f)
+        orig_max = float(orig_max)
+        wavelen = 2.0 * jnp.pi / inv
+        low_wl = orig_max / low_f
+        high_wl = orig_max / high_f
+        smooth = (orig_max / wavelen - low_f) / (high_f - low_f)
+        smoothed = (1.0 - smooth) * inv / factor + smooth * inv
+        return jnp.where(wavelen < high_wl, inv,
+                         jnp.where(wavelen > low_wl, inv / factor, smoothed))
+    raise ValueError(f"unsupported rope_scaling kind {kind!r}")
+
+
+def rope_table(positions: jnp.ndarray, head_dim: int, theta: float,
+               rope_scaling: Optional[Tuple] = None
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """positions (S,) -> (cos, sin) each (S, head_dim)."""
+    inv = rope_inv_freq(head_dim, theta, rope_scaling)
     freqs = positions.astype(jnp.float32)[:, None] * inv[None, :]
     emb = jnp.concatenate([freqs, freqs], axis=-1)
     return jnp.cos(emb), jnp.sin(emb)

@@ -47,7 +47,24 @@ def config_from_hf(d: Dict[str, Any]) -> ModelConfig:
         num_experts=d.get("num_local_experts", 0),
         num_experts_per_tok=d.get("num_experts_per_tok", 0),
         max_position_embeddings=d.get("max_position_embeddings", 32768),
+        rope_scaling=_parse_rope_scaling(d.get("rope_scaling")),
     )
+
+
+def _parse_rope_scaling(rs):
+    """HF config rope_scaling dict -> ModelConfig tuple (or None)."""
+    if not rs:
+        return None
+    kind = rs.get("rope_type") or rs.get("type")
+    if kind in (None, "default"):
+        return None
+    if kind == "linear":
+        return ("linear", float(rs["factor"]))
+    if kind == "llama3":
+        return ("llama3", float(rs["factor"]),
+                float(rs["low_freq_factor"]), float(rs["high_freq_factor"]),
+                int(rs["original_max_position_embeddings"]))
+    raise ValueError(f"unsupported rope_scaling type {kind!r}")
 
 
 def _open_safetensors(ckpt_dir: str):

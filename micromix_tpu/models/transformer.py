@@ -171,7 +171,8 @@ def forward(params: Params, cfg: ModelConfig, tokens: jnp.ndarray, *,
     """
     b, s = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
-    cos, sin = rope_table(jnp.arange(s), cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_table(jnp.arange(s), cfg.head_dim, cfg.rope_theta,
+                          cfg.rope_scaling)
     mask = causal_mask(s, s, cfg.sliding_window)
     for i, p in enumerate(params["layers"]):
         layer_tap = None

@@ -55,7 +55,8 @@ def _pp_local(layers_local, embed, tokens_mb, *, cfg: ModelConfig,
     sid = jax.lax.axis_index("stage")
     n_micro, mb, s = tokens_mb.shape
     l_per_stage = jax.tree_util.tree_leaves(layers_local)[0].shape[0]
-    cos, sin = rope_table(jnp.arange(s), cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_table(jnp.arange(s), cfg.head_dim, cfg.rope_theta,
+                          cfg.rope_scaling)
     mask = causal_mask(s, s, cfg.sliding_window)
 
     def apply_stage(h):

@@ -68,7 +68,8 @@ def sp_forward_local(params: Params, tokens_local: jnp.ndarray, *,
     offset = idx * s_loc
     h = jnp.take(params["embed"], tokens_local, axis=0).astype(jnp.bfloat16)
     positions = offset + jnp.arange(s_loc)
-    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta,
+                          cfg.rope_scaling)
     # local-Q rows attend over the full gathered K/V with global offsets
     mask = causal_mask(s_loc, s_global, cfg.sliding_window, offset=offset)
     for p in params["layers"]:

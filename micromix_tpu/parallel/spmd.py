@@ -141,7 +141,8 @@ def _tp_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask, tp: int):
 def _tp_forward_local(params, tokens, cfg: ModelConfig, tp: int):
     b, s = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
-    cos, sin = rope_table(jnp.arange(s), cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_table(jnp.arange(s), cfg.head_dim, cfg.rope_theta,
+                          cfg.rope_scaling)
     mask = causal_mask(s, s, cfg.sliding_window)
     for p in params["layers"]:
         h = _tp_decoder_layer(h, p, cfg, cos, sin, mask, tp)

@@ -102,7 +102,8 @@ def tp_prefill(params: Params, cfg_l: ModelConfig, caches, tokens,
     b, s = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
     positions = start_pos + jnp.arange(s)
-    cos, sin = rope_table(positions, cfg_l.head_dim, cfg_l.rope_theta)
+    cos, sin = rope_table(positions, cfg_l.head_dim, cfg_l.rope_theta,
+                          cfg_l.rope_scaling)
     mask = causal_mask(s, s, cfg_l.sliding_window)
     seq_ids = jnp.full((s,), seq_id, jnp.int32)
     new_caches = []

@@ -79,7 +79,8 @@ def prefill(params: Params, cfg: ModelConfig, caches: Caches,
     assert b == 1
     h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
     positions = start_pos + jnp.arange(s)
-    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta)
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta,
+                          cfg.rope_scaling)
     mask = causal_mask(s, s, cfg.sliding_window)
     if hist_len:
         qi = positions[:, None]                      # global query positions
@@ -185,8 +186,8 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
 
 
 def _rope_angles(positions: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
-    inv = 1.0 / (cfg.rope_theta ** (
-        jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))
+    from ..models.common import rope_inv_freq
+    inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     freqs = positions.astype(jnp.float32)[:, None] * inv[None, :]
     return jnp.concatenate([freqs, freqs], axis=-1)      # (B, D)
 

@@ -159,3 +159,67 @@ def test_weight_only_checkpoint_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(
         np.asarray(forward(wq, cfg, tokens)),
         np.asarray(forward(loaded, cfg, tokens)))
+
+
+def test_rope_scaling_llama3():
+    """rope_inv_freq llama3 rule vs an independent NumPy reference (HF
+    _compute_llama3_parameters), plus loader config parsing."""
+    import numpy as np
+    from micromix_tpu.models.common import rope_inv_freq
+    from micromix_tpu.models.loader import _parse_rope_scaling
+
+    head_dim, theta = 128, 500000.0
+    factor, low_f, high_f, orig = 8.0, 1.0, 4.0, 8192
+    got = np.asarray(rope_inv_freq(
+        head_dim, theta, ("llama3", factor, low_f, high_f, orig)))
+
+    inv = 1.0 / (theta ** (np.arange(0, head_dim, 2) / head_dim))
+    wavelen = 2 * np.pi / inv
+    ref = []
+    for i, f in enumerate(inv):
+        wl = wavelen[i]
+        if wl < orig / high_f:
+            ref.append(f)
+        elif wl > orig / low_f:
+            ref.append(f / factor)
+        else:
+            smooth = (orig / wl - low_f) / (high_f - low_f)
+            ref.append((1 - smooth) * f / factor + smooth * f)
+    np.testing.assert_allclose(got, np.asarray(ref), rtol=1e-6)
+
+    # linear scaling
+    lin = np.asarray(rope_inv_freq(head_dim, theta, ("linear", 4.0)))
+    np.testing.assert_allclose(lin, inv / 4.0, rtol=1e-6)
+
+    # HF config dict parsing (Llama-3.1 style)
+    rs = _parse_rope_scaling({
+        "rope_type": "llama3", "factor": 8.0, "low_freq_factor": 1.0,
+        "high_freq_factor": 4.0, "original_max_position_embeddings": 8192})
+    assert rs == ("llama3", 8.0, 1.0, 4.0, 8192)
+    assert _parse_rope_scaling(None) is None
+    assert _parse_rope_scaling({"rope_type": "default"}) is None
+
+
+def test_rope_scaling_through_forward_and_checkpoint(tmp_path, rng):
+    import numpy as np
+    import jax.numpy as jnp
+    from micromix_tpu.models import (
+        ModelConfig, forward, load_params, random_dense_params, save_params)
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=1, num_heads=2,
+                      num_kv_heads=2, head_dim=64, rope_theta=500000.0,
+                      rms_eps=1e-6,
+                      rope_scaling=("llama3", 8.0, 1.0, 4.0, 8192))
+    params = random_dense_params(cfg, seed=60)
+    tokens = jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)
+    out = forward(params, cfg, tokens)
+    assert np.isfinite(np.asarray(out)).all()
+    # scaling changes the numerics vs unscaled
+    cfg0 = ModelConfig(**{**cfg.__dict__, "rope_scaling": None})
+    out0 = forward(params, cfg0, tokens)
+    assert np.abs(np.asarray(out) - np.asarray(out0)).max() > 1e-4
+    # config round-trips through the checkpoint (tuple vs json list)
+    save_params(str(tmp_path / "rs"), params, cfg)
+    _, cfg2, _ = load_params(str(tmp_path / "rs"))
+    assert cfg2 == cfg
