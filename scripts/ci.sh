@@ -1,0 +1,31 @@
+#!/usr/bin/env bash
+# One-command verification: tests + bench smoke + driver hooks.
+# CPU-only parts always run; TPU parts run where a chip is available.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+echo "== tests (CPU, 8 virtual devices) =="
+python -m pytest tests/ -q
+
+echo "== multi-chip dryrun (dp/tp/ep/sp/pp) =="
+python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+echo "== single-chip compile check =="
+python - <<'PY'
+import jax, __graft_entry__ as g
+fn, args = g.entry()
+jax.block_until_ready(jax.jit(fn)(*args))
+print("entry OK")
+PY
+
+echo "== kernel validation (bit-exact vs reference path) =="
+python bench.py --validate
+
+echo "== headline bench =="
+python bench.py
+
+echo "== bench suite (quick) =="
+for b in benchmarks/bench_*.py; do
+  python "$b" --quick
+done
+echo "CI OK"
