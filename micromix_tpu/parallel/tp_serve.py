@@ -97,14 +97,30 @@ def _logits(params, cfg, h):
 
 
 def tp_prefill(params: Params, cfg_l: ModelConfig, caches, tokens,
-               seq_id, start_pos, last_idx):
-    """shard_map body: prefill with local heads; replicated logits out."""
+               seq_id, start_pos, last_idx, *, hist_len: int = 0):
+    """shard_map body: prefill with local heads; replicated logits out.
+
+    ``hist_len`` (static) enables chunked prefill exactly like
+    runner.prefill: the chunk attends over the first hist_len cached
+    positions of its *local head slice* — gather_kv reads local pages, so
+    the history path needs no extra collectives.
+    """
     b, s = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
     positions = start_pos + jnp.arange(s)
     cos, sin = rope_table(positions, cfg_l.head_dim, cfg_l.rope_theta,
                           cfg_l.rope_scaling)
     mask = causal_mask(s, s, cfg_l.sliding_window)
+    if hist_len:
+        from ..serve.kv_cache import gather_kv
+        qi = positions[:, None]
+        kj = jnp.arange(hist_len)[None, :]
+        hist_allow = kj < start_pos
+        if cfg_l.sliding_window is not None:
+            hist_allow = jnp.logical_and(hist_allow,
+                                         kj > qi - cfg_l.sliding_window)
+        mask = jnp.concatenate(
+            [jnp.broadcast_to(hist_allow, (s, hist_len)), mask], axis=1)
     seq_ids = jnp.full((s,), seq_id, jnp.int32)
     new_caches = []
     cache_it = iter(caches)
@@ -114,7 +130,13 @@ def tp_prefill(params: Params, cfg_l: ModelConfig, caches, tokens,
         k = apply_rope(k, cos, sin)
         cache = append_kv(next(cache_it), seq_ids, positions, k[0], v[0])
         new_caches.append(cache)
-        if jax.default_backend() != "cpu":
+        if hist_len:
+            from ..serve.kv_cache import gather_kv
+            kh, vh = gather_kv(cache, seq_id, hist_len)  # (hist, Hl, D)
+            k_full = jnp.concatenate([kh[None], k], axis=1)
+            v_full = jnp.concatenate([vh[None], v], axis=1)
+            out = attention(q, k_full, v_full, mask)
+        elif jax.default_backend() != "cpu":
             from ..kernels.flash_attention import flash_attention
             out = flash_attention(q, k, v,
                                   sliding_window=cfg_l.sliding_window)
@@ -186,15 +208,27 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
     decode_fn = mk(lambda p, c, t, sid, pos, cfg_l: tp_decode_step(
         p, cfg_l, c, t, sid, pos), 2)
 
-    def multi_body(p, c, t, sid, pos, key, step, tt, kk, tp_, cfg_l):
+    def multi_body(p, c, t, sid, pos, key, step, tt, kk, tp_, cfg_l,
+                   mode="full"):
         return decode_multi(
             p, cfg_l, c, t, sid, pos, jax.random.fold_in(key, step),
-            tt, kk, tp_, n_steps=decode_chunk,
+            tt, kk, tp_, n_steps=decode_chunk, sample_mode=mode,
             step_fn=lambda prm, cl, cc, tk, si, po: tp_decode_step(
                 prm, cl, cc, tk, si, po))
-    decode_multi_fn = mk(multi_body, 7)
+    # per-sample-mode programs: the 'full' sampler argsorts the whole vocab
+    # (~100 ms/step at V=32k, docs/perf_notes.md) and must only compile in
+    # when a request actually uses top-p — mirrors Engine._decode_multi_cache
+    decode_multi_fns = {
+        m: mk(functools.partial(multi_body, mode=m), 7)
+        for m in ("simple", "topk", "full")
+    }
 
-    return prefill_fn, decode_fn, decode_multi_fn
+    def prefill_hist(hist_len: int):
+        """Chunked-prefill step specialized on the static history length."""
+        return mk(lambda p, c, t, sid, sp, li, cfg_l, h=hist_len: tp_prefill(
+            p, cfg_l, c, t, sid, sp, li, hist_len=h), 3)
+
+    return prefill_fn, decode_fn, decode_multi_fns, prefill_hist
 
 
 def make_tp_engine(params_tp: Params, cfg: ModelConfig, mesh: Mesh,

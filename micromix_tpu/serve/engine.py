@@ -85,17 +85,30 @@ class Engine:
         self.decode_chunk = max(1, decode_chunk)
         # chunked prefill: long prompts stream through the cache in
         # bucket-sized chunks (bounds TTFT head-of-line blocking and lifts
-        # the max-bucket prompt limit).  Custom step_fns (TP serving) run
-        # single-shot prefill only.
+        # the max-bucket prompt limit).
         self.prefill_chunk = min(prefill_chunk or self.buckets[-1],
                                  self.buckets[-1])
-        self._chunked_ok = step_fns is None
         self._prefill_cache: Dict[int, Any] = {}
         self._custom_decode_multi = None
+        self._prefill_hist_factory = None
         if step_fns is not None:
-            # multi-chip serving: shard-mapped (prefill, decode, decode_multi)
-            self._prefill, self._decode, self._custom_decode_multi = step_fns
-        else:
+            # multi-chip serving: shard-mapped steps.  decode_multi may be a
+            # dict keyed by sample mode; the optional 4th element is a
+            # hist_len -> prefill-step factory enabling chunked prefill.
+            if len(step_fns) == 4:
+                (self._prefill, self._decode, self._custom_decode_multi,
+                 self._prefill_hist_factory) = step_fns
+            else:
+                (self._prefill, self._decode,
+                 self._custom_decode_multi) = step_fns
+        self._chunked_ok = (step_fns is None
+                            or self._prefill_hist_factory is not None)
+        if not self._chunked_ok:
+            # without a sharded hist-prefill, chunking would silently run
+            # the UNSHARDED runner.prefill over TP-sharded params (wrong
+            # numerics under shard-local budgets) — force single-shot
+            self.prefill_chunk = self.buckets[-1]
+        if step_fns is None:
             self._prefill = jax.jit(
                 lambda p, c, t, sid, sp, li: prefill(p, cfg, c, t, sid, sp,
                                                      li))
@@ -147,7 +160,8 @@ class Engine:
 
     def _decode_multi_for(self, mode: str):
         if self._custom_decode_multi is not None:
-            return self._custom_decode_multi
+            cdm = self._custom_decode_multi
+            return cdm[mode] if isinstance(cdm, dict) else cdm
         if mode not in self._decode_multi_cache:
             cfg = self.cfg
             self._decode_multi_cache[mode] = jax.jit(
@@ -213,10 +227,14 @@ class Engine:
         if hist_gather == 0:
             return self._prefill
         if hist_gather not in self._prefill_cache:
-            cfg = self.cfg
-            self._prefill_cache[hist_gather] = jax.jit(
-                lambda p, c, t, sid, sp, li, h=hist_gather: prefill(
-                    p, cfg, c, t, sid, sp, li, hist_len=h))
+            if self._prefill_hist_factory is not None:
+                self._prefill_cache[hist_gather] = \
+                    self._prefill_hist_factory(hist_gather)
+            else:
+                cfg = self.cfg
+                self._prefill_cache[hist_gather] = jax.jit(
+                    lambda p, c, t, sid, sp, li, h=hist_gather: prefill(
+                        p, cfg, c, t, sid, sp, li, hist_len=h))
         return self._prefill_cache[hist_gather]
 
     def _prefill_step(self, slot_id: int) -> bool:
@@ -228,6 +246,13 @@ class Engine:
         try:
             self._ensure_pages(slot_id, slot.pos + bucket)
         except RuntimeError:
+            victims = [j for j, t in enumerate(self.slots)
+                       if t.req is not None and j != slot_id]
+            if not victims:
+                # nobody else holds pages: requeueing would livelock
+                # (step() would keep returning True with zero progress)
+                raise RuntimeError(
+                    "KV pool too small for this prompt's prefill")
             req = slot.req
             self._release(slot_id)
             self.waiting.insert(0, req)

@@ -72,6 +72,9 @@ def sample_batch(logits: jnp.ndarray, key: jax.Array,
         vals, _ = jax.lax.top_k(x, kmax)                       # (B, kmax) desc
         k_idx = jnp.clip(jnp.where(top_k > 0, top_k, kmax) - 1, 0, kmax - 1)
         kth = jnp.take_along_axis(vals, k_idx[:, None], axis=-1)
+        # rows with top_k<=0 asked for NO filter: their threshold is -inf,
+        # not the kmax-th logit (which would silently clip to _TOPK_WIDTH)
+        kth = jnp.where(top_k[:, None] > 0, kth, -jnp.inf)
         xm = jnp.where(x < kth, -jnp.inf, x)
         drawn = jax.random.categorical(key, xm / t, axis=-1).astype(jnp.int32)
         return jnp.where(temperature <= 0.0, greedy, drawn)

@@ -250,6 +250,22 @@ def test_sample_batch_modes(rng):
     top5 = np.argsort(np.asarray(logits), axis=-1)[:, -5:]
     for i in range(4):
         assert draws[i] in top5[i]
+    # topk mode, mixed batch: a top_k=0 row keeps the FULL distribution
+    # (regression: it used to inherit the kmax-th-logit threshold, clipping
+    # pure temperature sampling to the top _TOPK_WIDTH logits)
+    k_mixed = jnp.asarray([5, 0, 5, 0], jnp.int32)
+    spread = jnp.broadcast_to(jnp.linspace(-1.0, 1.0, 256), (4, 256))
+    kth = float(np.sort(np.asarray(spread)[1])[-128])  # 128th-best logit
+    many = [np.asarray(sample_batch(
+        spread, jax.random.PRNGKey(s), jnp.full((4,), 100.0),
+        k_mixed, ones, mode="topk")) for s in range(40)]
+    # at T=100 the top_k=0 row is near-uniform over all 256 tokens: ~50%
+    # of draws land below the 128th logit, which the old clip forbade
+    assert any(float(spread[1, int(d[1])]) < kth for d in many), \
+        "top_k=0 row must be able to draw below the _TOPK_WIDTH-th logit"
+    # top_k=5 rows in the same batch stay filtered
+    top5 = set(np.argsort(np.asarray(spread)[0])[-5:].tolist())
+    assert all(int(d[0]) in top5 for d in many)
     # mode picker
     gp = SamplingParams()
     assert pick_sample_mode([gp]) == "simple"
