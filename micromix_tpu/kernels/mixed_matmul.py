@@ -35,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..mx import numerics as nx
 from ..mx.formats import BLOCK_SIZE, FP4, FP6, FP8
 from ..mx.mxtensor import MixedTensor
+from ..mx.scaledw8 import ScaledW8
 
 _BF16 = jnp.bfloat16
 _F32 = jnp.float32
@@ -115,6 +116,10 @@ def _pad_rows(x, rows: int):
 # through HBM; below it the fused kernel wins (weights stream packed, 4x
 # less HBM traffic in the memory-bound decode regime).
 PREFILL_DEQUANT_THRESHOLD = 512
+# ScaledW8 decode is ~6 VPU ops, so its fused kernel stays MXU-bound much
+# longer: measured 194 vs 168 TF at M=256 and 202 vs 187 at M=512 in the
+# kernel's favor; XLA dense wins from M=1024 (185 vs 209), v5e 2026-08-17.
+W8_PREFILL_DEQUANT_THRESHOLD = 1024
 
 
 def _mixed_matmul_dense(a: MixedTensor, w: MixedTensor, out_dtype):
@@ -130,21 +135,121 @@ def _mixed_matmul_dense(a: MixedTensor, w: MixedTensor, out_dtype):
     return jnp.dot(ad, wd.T, preferred_element_type=_F32).astype(out_dtype)
 
 
-def mixed_matmul(a: MixedTensor, w: MixedTensor, *,
+def _w8_kernel(scale_ref, a_ref, w_ref, out_ref, *, out_dtype):
+    """ScaledW8 decode-GEMM body: decode one (bn, K) weight strip, one dot.
+
+    Decode builds the *unbiased* pattern v0 = (-1)^s (1+m/2) 2^(e6-127)
+    straight from the code bits — code 0 gives +-0 with no select — then
+    one multiply by the po2 scalar 2^(base+126) lands the exact value.
+    No per-block scales, no ``pltpu.repeat``, no segment split: ~6 VPU ops
+    vs ~17/element for split-plane fp4 + UE8M0, which took the old kernel
+    from 12.9 to 31.3 TFLOPs at M=32 (docs/perf_notes.md).
+
+    (A 16-bit-lane variant — 2 elements per 32-bit VPU lane — was measured
+    infeasible: Mosaic legalizes neither shifts nor compares on i16
+    vectors, and the wrapping-multiply formulation SIGABRTs the backend.)
+    """
+    c = w_ref[:].astype(jnp.int32)
+    t = c & 0x7F
+    bits = (t << 22) | ((c & 0x80) << 24)
+    v0 = jax.lax.bitcast_convert_type(bits, _F32)
+    w = (v0 * scale_ref[0]).astype(_BF16)
+    out_ref[:] = jax.lax.dot_general(
+        a_ref[:], w,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=_F32,
+    ).astype(out_dtype)
+
+
+def mixed_matmul_w8(a_bf16: jnp.ndarray, w: ScaledW8, *,
+                    out_dtype=_BF16,
+                    bm: Optional[int] = None,
+                    bn: Optional[int] = None,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Y = A @ dq(W)^T with W in the ScaledW8 decode-optimized layout.
+
+    ``a_bf16`` is the *exact* bf16 image of the quantized activation
+    (every MX grid value x po2 scale is bf16-representable), shape (M, K)
+    in device column order — i.e. ``dequantize_mixed(a_mx, bf16)`` or a
+    fused fakequant.  Bit-identical to mixed_matmul on the same operands.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m, k = a_bf16.shape
+    n = w.rows
+    assert w.k == k, (w.k, k)
+
+    if bm is None:
+        bm = min(256, _round_up(m, 32))
+    if bn is None:
+        bn = 512 if n % 512 == 0 else (256 if n % 256 == 0 else 128)
+    bn = min(bn, _round_up(n, 128))
+    mp, np_ = _round_up(m, bm), _round_up(n, bn)
+    a_p = a_bf16 if mp == m else jnp.pad(a_bf16, ((0, mp - m), (0, 0)))
+    codes = _pad_rows(w.codes, np_)
+
+    # exact po2 rescale from the unbiased decode pattern to the true value;
+    # ScaledW8 guarantees base <= 1 so 2^(base+126) is a normal f32/bf16.
+    scale = nx.exp2i(w.base.astype(jnp.int32) + 126)
+
+    grid = (mp // bm, np_ // bn)
+    out = pl.pallas_call(
+        functools.partial(_w8_kernel, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bn, k), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k * 2 + np_ * k + mp * np_ * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(scale.reshape(-1), a_p, codes)
+    return out[:m, :n] if (mp, np_) != (m, n) else out
+
+
+def mixed_matmul(a, w, *,
                  out_dtype=_BF16,
                  bm: Optional[int] = None,
                  bn: Optional[int] = None,
                  interpret: Optional[bool] = None,
-                 prefill_threshold: int = PREFILL_DEQUANT_THRESHOLD
+                 prefill_threshold: Optional[int] = None
                  ) -> jnp.ndarray:
     """Y = dq(A) @ dq(W)^T via one fused Pallas kernel.
 
-    A: activations (M, K), fp4 segment unpacked.
-    W: weights (N, K), fp4 segment split-plane packed, optionally fp4-only.
+    A: activations (M, K) — a MixedTensor (fp4 segment unpacked), or, when
+       W is a ScaledW8, optionally the exact bf16 image of the quantized
+       activation (the quantize-once/decode-once form project_all shares
+       across q/k/v).
+    W: weights (N, K) — split-plane MixedTensor or ScaledW8 (the
+       decode-optimized fp4-only layout, 2.4x faster at decode M).
     Returns (M, N) in out_dtype.
     """
+    if isinstance(w, ScaledW8):
+        from ..mx.mxtensor import dequantize_mixed_device
+        from ..mx.scaledw8 import dequantize_scaled_w8
+        if prefill_threshold is None:
+            prefill_threshold = W8_PREFILL_DEQUANT_THRESHOLD
+        if isinstance(a, MixedTensor):
+            assert a.segments() == w.segments(), (a.segments(), w.segments())
+            a = dequantize_mixed_device(a, _BF16)
+        if a.shape[0] >= prefill_threshold:
+            wd = dequantize_scaled_w8(w, _BF16)
+            return jnp.dot(a, wd.T,
+                           preferred_element_type=_F32).astype(out_dtype)
+        return mixed_matmul_w8(a, w, out_dtype=out_dtype, bm=bm, bn=bn,
+                               interpret=interpret)
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
+    if prefill_threshold is None:
+        prefill_threshold = PREFILL_DEQUANT_THRESHOLD
     if a.rows >= prefill_threshold:
         return _mixed_matmul_dense(a, w, out_dtype)
     assert a.segments() == w.segments(), (a.segments(), w.segments())

@@ -27,6 +27,7 @@ import jax.numpy as jnp
 import ml_dtypes
 
 from ..mx.mxtensor import MixedTensor
+from ..mx.scaledw8 import ScaledW8
 from .common import (DenseLinear, ModelConfig, QuantLinear,
                      QuantSite, WeightOnlyLinear)
 
@@ -38,6 +39,7 @@ _NODE_TYPES = {
     "MixedTensor": (MixedTensor,
                     ("fp4", "fp6", "fp8", "sf4", "sf6", "sf8"),
                     ("fp4_packed", "fp4_only")),
+    "ScaledW8": (ScaledW8, ("codes", "base"), ("k4", "k6", "k8")),
     "QuantLinear": (QuantLinear, ("w", "bias"), ()),
     "WeightOnlyLinear": (WeightOnlyLinear, ("w", "bias"), ()),
     "DenseLinear": (DenseLinear, ("w", "bias"), ()),

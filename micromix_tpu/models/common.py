@@ -83,10 +83,13 @@ class QuantLinear:
     per-call quantize — activations arrive pre-quantized (MixedTensor).
     """
 
-    w: MixedTensor       # (out_features, K) quantized, fp4 split-plane packed
+    # (out_features, K) quantized: split-plane MixedTensor or the
+    # decode-optimized ScaledW8 layout (mx/scaledw8.py)
+    w: Any
     bias: Optional[jnp.ndarray] = None
 
-    def __call__(self, qx: MixedTensor) -> jnp.ndarray:
+    def __call__(self, qx) -> jnp.ndarray:
+        """qx: MixedTensor, or its exact bf16 image when w is ScaledW8."""
         y = mixed_matmul(qx, self.w)
         if self.bias is not None:
             y = y + self.bias
@@ -304,6 +307,12 @@ def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
                                 eps=rms_eps)
     else:
         qx = reorder_quantize_x(x, site.perm, *site.splits)
+    from ..mx.scaledw8 import ScaledW8
+    if all(isinstance(lin.w, ScaledW8) for lin in linears):
+        # decode-once: ScaledW8 consumers eat the exact bf16 image of the
+        # quantized activation, so q/k/v (or gate/up) share one decode
+        from ..mx.mxtensor import dequantize_mixed_device
+        qx = dequantize_mixed_device(qx, jnp.bfloat16)
     outs = []
     for lin in linears:
         y = lin(qx)

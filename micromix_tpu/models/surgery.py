@@ -74,16 +74,37 @@ def make_site(calib: SiteCalibration, k: int) -> QuantSite:
     return QuantSite(k4=k4, k6=k6, k8=k8, perm=jnp.asarray(dev_perm))
 
 
+def _maybe_scaledw8(wq, layout: str):
+    """fp4-only MixedTensor -> ScaledW8 when the layout allows it.
+
+    "auto" converts fp4-only weights to the decode-optimized per-element
+    layout (kernels/mixed_matmul._w8_kernel: 12.9 -> 31.3 TFLOPs at decode
+    M) and falls back to split-plane when the scaled-exponent span exceeds
+    the 6-bit field (never seen on real weights).  "splitplane" keeps the
+    packed MixedTensor (half the HBM bytes — the capacity-first choice).
+    """
+    if layout == "splitplane" or not wq.fp4_only:
+        return wq
+    assert layout == "auto", layout
+    from ..mx.scaledw8 import pack_scaled_w8
+    try:
+        return pack_scaled_w8(wq, check=True)
+    except ValueError:
+        return wq
+
+
 def quantize_linear(w: jnp.ndarray, calib: SiteCalibration,
                     bias: Optional[jnp.ndarray] = None, *,
                     weight_fp4_only: bool = True,
                     row_perm: Optional[np.ndarray] = None,
-                    host: bool = False) -> QuantLinear:
+                    host: bool = False,
+                    layout: str = "auto") -> QuantLinear:
     """w (N, K) dense -> QuantLinear (input channels permuted + quantized).
 
     host=True quantizes on the CPU via the native mxpack library (bit-
     identical; preferred for multi-GB checkpoints so the f32 weights never
-    touch device HBM).
+    touch device HBM).  ``layout`` picks the device weight layout
+    ("auto" -> ScaledW8 for fp4-only weights, "splitplane" -> packed).
     """
     n, k = w.shape
     k4, k6, k8 = calib.splits(k)
@@ -103,7 +124,8 @@ def quantize_linear(w: jnp.ndarray, calib: SiteCalibration,
             sf6=jnp.asarray(segs["sf6"]), sf8=jnp.asarray(segs["sf8"]),
             fp4_packed=bool(k4), fp4_only=weight_fp4_only)
         return QuantLinear(
-            w=wq, bias=None if bias is None else bias.astype(jnp.bfloat16))
+            w=_maybe_scaledw8(wq, layout),
+            bias=None if bias is None else bias.astype(jnp.bfloat16))
     wp = jnp.take(w.astype(jnp.float32),
                   jnp.asarray(calib.reorder_index, dtype=jnp.int32), axis=1)
     if row_perm is not None:
@@ -114,7 +136,8 @@ def quantize_linear(w: jnp.ndarray, calib: SiteCalibration,
     wq = quantize_mixed(wp, k4, k6, k8, weight_fp4_only=weight_fp4_only,
                         pack_fp4=True)
     return QuantLinear(
-        w=wq, bias=None if bias is None else bias.astype(jnp.bfloat16))
+        w=_maybe_scaledw8(wq, layout),
+        bias=None if bias is None else bias.astype(jnp.bfloat16))
 
 
 def _down_row_perm(calib: SiteCalibration, k: int) -> np.ndarray:
@@ -126,7 +149,8 @@ def _down_row_perm(calib: SiteCalibration, k: int) -> np.ndarray:
 def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
                    calib: LayerCalib, *,
                    weight_fp4_only: bool = True,
-                   host: bool = False) -> Dict[str, Any]:
+                   host: bool = False,
+                   layout: str = "auto") -> Dict[str, Any]:
     """One dense decoder-layer param dict -> quantized param dict."""
     out: Dict[str, Any] = {"ln1": p["ln1"], "ln2": p["ln2"]}
     hid = cfg.hidden_size
@@ -136,12 +160,12 @@ def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
     for name in ("q", "k", "v"):
         lin: DenseLinear = p[name]
         out[name] = quantize_linear(lin.w, c_attn, lin.bias,
-                                    weight_fp4_only=weight_fp4_only, host=host)
+                                    weight_fp4_only=weight_fp4_only, host=host, layout=layout)
 
     c_o = calib[O_IN]
     out["o_site"] = make_site(c_o, cfg.num_heads * cfg.head_dim)
     out["o"] = quantize_linear(p["o"].w, c_o, p["o"].bias,
-                               weight_fp4_only=weight_fp4_only, host=host)
+                               weight_fp4_only=weight_fp4_only, host=host, layout=layout)
 
     if cfg.is_moe:
         out["router"] = p["router"]  # stays bf16 (qMixtralLayer.py:385)
@@ -155,12 +179,12 @@ def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
                 "site_down": QuantSite(*c_dn.splits(cfg.intermediate_size)),
                 "w1": quantize_linear(ep["w1"].w, c_in, ep["w1"].bias,
                                       weight_fp4_only=weight_fp4_only,
-                                      row_perm=rp, host=host),
+                                      row_perm=rp, host=host, layout=layout),
                 "w3": quantize_linear(ep["w3"].w, c_in, ep["w3"].bias,
                                       weight_fp4_only=weight_fp4_only,
-                                      row_perm=rp, host=host),
+                                      row_perm=rp, host=host, layout=layout),
                 "w2": quantize_linear(ep["w2"].w, c_dn, ep["w2"].bias,
-                                      weight_fp4_only=weight_fp4_only, host=host),
+                                      weight_fp4_only=weight_fp4_only, host=host, layout=layout),
             })
         out["experts"] = experts
     else:
@@ -171,19 +195,20 @@ def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
         rp = _down_row_perm(c_dn, cfg.intermediate_size)
         out["gate"] = quantize_linear(p["gate"].w, c_mlp, p["gate"].bias,
                                       weight_fp4_only=weight_fp4_only,
-                                      row_perm=rp, host=host)
+                                      row_perm=rp, host=host, layout=layout)
         out["up"] = quantize_linear(p["up"].w, c_mlp, p["up"].bias,
                                     weight_fp4_only=weight_fp4_only,
-                                    row_perm=rp, host=host)
+                                    row_perm=rp, host=host, layout=layout)
         out["down"] = quantize_linear(p["down"].w, c_dn, p["down"].bias,
-                                      weight_fp4_only=weight_fp4_only, host=host)
+                                      weight_fp4_only=weight_fp4_only, host=host, layout=layout)
     return out
 
 
 def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
                    calibs: List[LayerCalib], *,
                    weight_fp4_only: bool = True,
-                   host: bool = False) -> Dict[str, Any]:
+                   host: bool = False,
+                   layout: str = "auto") -> Dict[str, Any]:
     """Dense model pytree -> quantized pytree (embed / norms / head stay bf16,
     as in the reference which only swaps nn.Linear inside decoder layers)."""
     assert len(calibs) == cfg.num_layers
@@ -192,7 +217,7 @@ def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
         "final_ln": params["final_ln"],
         "lm_head": params["lm_head"],
         "layers": [
-            quantize_layer(p, cfg, c, weight_fp4_only=weight_fp4_only, host=host)
+            quantize_layer(p, cfg, c, weight_fp4_only=weight_fp4_only, host=host, layout=layout)
             for p, c in zip(params["layers"], calibs)
         ],
     }

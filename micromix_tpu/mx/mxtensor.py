@@ -118,8 +118,21 @@ def quantize_mixed(x: jnp.ndarray, k4: int, k6: int, k8: int,
     )
 
 
-def dequantize_mixed(t: MixedTensor, dtype=jnp.float32) -> jnp.ndarray:
-    """MixedTensor -> dense (rows, K) in ``dtype`` (reference / test path)."""
+def dequantize_mixed(t, dtype=jnp.float32) -> jnp.ndarray:
+    """Quantized weight -> dense (rows, K), *canonical* column order.
+
+    Accepts a MixedTensor or a ScaledW8 (the decode-optimized fp4-only
+    weight layout) so test/reference paths stay layout-agnostic.
+    """
+    if not isinstance(t, MixedTensor):
+        from .scaledw8 import dequantize_scaled_w8
+        vals = dequantize_scaled_w8(t, dtype=jnp.float32)
+        parts, off = [], 0
+        for kseg in t.segments():
+            if kseg:
+                parts.append(lay.deinterleave(vals[:, off:off + kseg]))
+            off += kseg
+        return jnp.concatenate(parts, axis=-1).astype(dtype)
     parts = []
     if t.k4:
         codes = nx.unpack_fp4(t.fp4) if t.fp4_packed else t.fp4
@@ -130,6 +143,34 @@ def dequantize_mixed(t: MixedTensor, dtype=jnp.float32) -> jnp.ndarray:
     if t.k8:
         parts.append(nx.dequantize_blocks(lay.deinterleave(t.fp8), t.sf8,
                                           FP4 if t.fp4_only else FP8))
+    if not parts:
+        return jnp.zeros((t.rows, 0), dtype)
+    return jnp.concatenate(parts, axis=-1).astype(dtype)
+
+
+def dequantize_mixed_device(t, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """MixedTensor/ScaledW8 -> dense (rows, K), *device* column order.
+
+    Unlike dequantize_mixed (canonical order, for host-side comparison),
+    this keeps each segment block-interleaved — the exact bf16 operand the
+    Pallas kernels feed the MXU.  Scale expansion is a lane tile (physical
+    column c -> scale block c % nb, mx/layout.py), which XLA fuses freely.
+    """
+    if not isinstance(t, MixedTensor):
+        from .scaledw8 import dequantize_scaled_w8
+        return dequantize_scaled_w8(t, dtype=dtype)
+    parts = []
+    for kseg, codes, sf, fmt in (
+            (t.k4, t.fp4, t.sf4, FP4),
+            (t.k6, t.fp6, t.sf6, FP4 if t.fp4_only else FP6),
+            (t.k8, t.fp8, t.sf8, FP4 if t.fp4_only else FP8)):
+        if not kseg:
+            continue
+        if codes.shape[-1] != kseg:  # split-plane packed fp4
+            codes = nx.unpack_fp4(codes)
+        vals = nx.decode(codes, fmt)
+        scale = nx.exp2i(sf.astype(jnp.int32) - 127)
+        parts.append(vals * jnp.tile(scale, (1, kseg // sf.shape[-1])))
     if not parts:
         return jnp.zeros((t.rows, 0), dtype)
     return jnp.concatenate(parts, axis=-1).astype(dtype)

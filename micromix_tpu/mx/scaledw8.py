@@ -1,0 +1,165 @@
+"""ScaledW8: decode-optimized weight layout for fp4-only MX weights.
+
+MicroMix quantizes weights to MXFP4 for every K-segment (reference:
+model/qLinearLayer.py:50, mgemm/src/reorder.cu:271-432 — the w4 kernel uses
+FP4_MAX for all three branches).  An MXFP4 element times its UE8M0 block
+scale is ``(-1)^s * (1 + m/2) * 2^E`` with a single mantissa bit — i.e. the
+entire *scaled* weight value fits in (sign, exponent, 1 mantissa bit).
+
+ScaledW8 stores that product directly, one byte per element:
+
+    code = s<<7 | e6<<1 | m        e6 = E - base + 1 in [1, 63]
+    code = 0                       for +/-0
+
+with one per-tensor int32 ``base`` exponent.  Decode to float32 bits is
+three integer ops plus a zero select:
+
+    bits = ((code & 0x7F) << 22) + ((base + 126) << 23)   # exp+mant
+    bits |= (code & 0x80) << 24                            # sign
+    value = bitcast_f32(bits)  where code&0x7F != 0 else 0
+
+versus ~17 VPU ops (field extraction, subnormal select, scale exp2,
+``pltpu.repeat`` lane-tiling, scale multiply) for split-plane fp4 + UE8M0
+decode.  The measured v5e decode-GEMM is VPU-decode-bound
+(docs/perf_notes.md), so trading 2x HBM bytes (1 B/elem vs 0.5 B packed)
+for a ~2x shorter decode pipeline is the right side of the roofline at
+decode M; both layouts remain available and QuantLinear picks per use.
+
+Exactness: decode(pack(w)) reproduces the *identical bf16 operand* the
+split-plane kernel feeds the MXU, so GEMM results are bit-equal to the
+``mixed_matmul_xla`` reference (tested in tests/test_scaledw8.py).
+
+Range: e6 has 6 bits, so the spread of scaled-value exponents within one
+tensor must be <= 62.  Real weight tensors span ~15-25; ``pack_scaled_w8``
+raises if exceeded and callers fall back to the split-plane layout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import numerics as nx
+from .formats import FP4, UE8M0_BIAS
+from .mxtensor import MixedTensor
+
+_F32 = jnp.float32
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaledW8:
+    """Per-element scaled-fp4 weight codes for one (N, K) weight matrix.
+
+    codes: (N, K) uint8, one code per logical element, segment columns in
+      the same block-interleaved device order as the matching activation
+      MixedTensor (mx/layout.py).
+    base: (1, 1) int32 per-tensor exponent offset (dynamic, not static, so
+      layers with different bases share one compiled kernel).
+    k4/k6/k8: the activation segment budgets this weight was packed for.
+    """
+
+    codes: jnp.ndarray
+    base: jnp.ndarray
+    k4: int = dataclasses.field(default=0, metadata=dict(static=True))
+    k6: int = dataclasses.field(default=0, metadata=dict(static=True))
+    k8: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def rows(self) -> int:
+        return self.codes.shape[0]
+
+    @property
+    def k(self) -> int:
+        return self.codes.shape[1]
+
+    def segments(self) -> Tuple[int, int, int]:
+        return (self.k4, self.k6, self.k8)
+
+
+jax.tree_util.register_dataclass(
+    ScaledW8, data_fields=["codes", "base"], meta_fields=["k4", "k6", "k8"])
+
+
+def _scaled_values(t: MixedTensor) -> jnp.ndarray:
+    """Exact per-element scaled values (rows, K) f32, device column order."""
+    assert t.fp4_only or (t.k6 == 0 and t.k8 == 0), \
+        "ScaledW8 requires fp4-only weights (1 mantissa bit)"
+    from .mxtensor import dequantize_mixed_device
+    return dequantize_mixed_device(t, dtype=jnp.float32)
+
+
+def pack_scaled_w8(t: MixedTensor, *, check: bool = True) -> ScaledW8:
+    """MixedTensor (fp4-only weights) -> ScaledW8.
+
+    check=True (eager contexts, e.g. model surgery at load time) verifies
+    the exponent span fits the 6-bit field and raises ValueError otherwise.
+    Inside jit pass check=False; out-of-range exponents then saturate,
+    which real weight tensors never reach (span ~20 vs capacity 62).
+    """
+    vals = _scaled_values(t)
+    bits = jax.lax.bitcast_convert_type(vals, _U32)
+    expf = ((bits >> 23) & _U32(0xFF)).astype(_I32)  # biased f32 exponent
+    mant = ((bits >> 22) & _U32(1)).astype(_I32)     # fp4 has 1 mantissa bit
+    sign = (bits >> 31).astype(_I32)
+    nonzero = vals != 0.0
+    big = jnp.where(nonzero, expf, 0)
+    small = jnp.where(nonzero, expf, 0xFF)
+    emax = jnp.max(big)
+    emin = jnp.min(small)
+    any_nz = jnp.any(nonzero)
+    base = jnp.where(any_nz, emin - 127, 0).astype(_I32)
+    if check:
+        span = int(jnp.where(any_nz, emax - emin, 0))
+        if span > 62:
+            raise ValueError(
+                f"scaled-weight exponent span {span} exceeds ScaledW8's 62; "
+                "use the split-plane MixedTensor layout for this tensor")
+        if int(base) > 1:
+            # the kernel rescales by 2^(base+126), which must stay a normal
+            # f32; base > 1 means weight magnitudes >= 2^128 — never real.
+            raise ValueError(f"scaled-weight base exponent {int(base)} > 1")
+    e6 = jnp.clip(expf - 127 - base + 1, 1, 63)
+    code = (sign << 7) | (e6 << 1) | mant
+    code = jnp.where(nonzero, code, 0).astype(jnp.uint8)
+    return ScaledW8(codes=code, base=base.reshape(1, 1),
+                    k4=t.k4, k6=t.k6, k8=t.k8)
+
+
+def decode_scaled_w8(codes: jnp.ndarray, k0: jnp.ndarray,
+                     dtype=jnp.bfloat16) -> jnp.ndarray:
+    """uint8 codes + K0 scalar -> exact scaled values.  Pallas-safe.
+
+    ``k0`` must be ``scaled_w8_k0(base)`` = (base + 126) << 23 (int32).
+    This is the kernel hot path: 3 integer ops + sign or + zero select.
+    """
+    c = codes.astype(_I32)
+    t = c & 0x7F
+    bits = (t << 22) + k0
+    bits = bits | ((c & 0x80) << 24)
+    vals = jax.lax.bitcast_convert_type(bits, _F32)
+    vals = jnp.where(t == 0, _F32(0), vals)
+    return vals.astype(dtype)
+
+
+def scaled_w8_k0(base: jnp.ndarray) -> jnp.ndarray:
+    """Per-tensor decode constant: f32 exponent-field pre-bias."""
+    return ((base.astype(_I32) + 126) << 23)
+
+
+def dequantize_scaled_w8(w: ScaledW8, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Whole-tensor decode (XLA reference / prefill path)."""
+    return decode_scaled_w8(w.codes, scaled_w8_k0(w.base), dtype)
+
+
+__all__ = [
+    "ScaledW8",
+    "pack_scaled_w8",
+    "decode_scaled_w8",
+    "scaled_w8_k0",
+    "dequantize_scaled_w8",
+]

@@ -30,6 +30,7 @@ from ..models.common import ModelConfig, QuantLinear, attention, causal_mask, \
     rmsnorm, rope_table, apply_rope
 from ..models.transformer import Params
 from ..mx.mxtensor import MixedTensor
+from ..mx.scaledw8 import ScaledW8
 from ..ops.quantize_ops import rmsnorm_quantize_x, reorder_quantize_x, \
     silu_mul_quantize_x
 
@@ -58,10 +59,17 @@ def quantized_param_specs(params: Params) -> Params:
         if not isinstance(lin, QuantLinear):
             return jax.tree.map(lambda _: rep, lin)
         rows = row if name in ROW_SHARDED else rep
+        if isinstance(lin.w, ScaledW8):
+            # codes (N, K) shard over output rows; per-tensor base replicated
+            wspec = ScaledW8(codes=rows, base=rep, k4=lin.w.k4,
+                             k6=lin.w.k6, k8=lin.w.k8)
+        else:
+            wspec = MixedTensor(fp4=rows, fp6=rows, fp8=rows, sf4=rows,
+                                sf6=rows, sf8=rows,
+                                fp4_packed=lin.w.fp4_packed,
+                                fp4_only=lin.w.fp4_only)
         return QuantLinear(
-            w=MixedTensor(fp4=rows, fp6=rows, fp8=rows, sf4=rows, sf6=rows,
-                          sf8=rows, fp4_packed=lin.w.fp4_packed,
-                          fp4_only=lin.w.fp4_only),
+            w=wspec,
             bias=None if lin.bias is None else (
                 P("model") if name in ROW_SHARDED else rep))
 

@@ -1,0 +1,127 @@
+"""ScaledW8 decode-optimized weight layout: exactness + kernel parity.
+
+The layout folds each UE8M0 block scale into per-element 8-bit codes
+(mx/scaledw8.py); everything here locks it bit-for-bit against the
+split-plane MixedTensor path and the XLA reference
+(mxtensor.mixed_matmul_xla), the same protocol as
+tests/test_mixed_matmul_kernel.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from micromix_tpu.kernels.mixed_matmul import mixed_matmul, mixed_matmul_w8
+from micromix_tpu.mx.mxtensor import (
+    MixedTensor, dequantize_mixed, dequantize_mixed_device, mixed_matmul_xla,
+    quantize_mixed)
+from micromix_tpu.mx.scaledw8 import (
+    ScaledW8, dequantize_scaled_w8, pack_scaled_w8)
+
+M, N, K4, K6, K8 = 32, 512, 384, 64, 64
+K = K4 + K6 + K8
+
+
+def _operands(rng, m=M, n=N):
+    x = rng.normal(0, 1, (m, K)).astype(np.float32)
+    x[:, -K8:] *= 60.0
+    w = rng.normal(0, 0.3, (n, K)).astype(np.float32)
+    a = quantize_mixed(jnp.asarray(x), K4, K6, K8)
+    wq = quantize_mixed(jnp.asarray(w), K4, K6, K8, weight_fp4_only=True,
+                        pack_fp4=True)
+    return a, wq
+
+
+def test_pack_decode_exact(rng):
+    _, wq = _operands(rng)
+    w8 = pack_scaled_w8(wq)
+    ref = np.asarray(dequantize_mixed_device(wq, jnp.float32))
+    got = np.asarray(dequantize_scaled_w8(w8, jnp.float32))
+    np.testing.assert_array_equal(ref, got)
+    # canonical-order dequantize agrees across layouts too
+    np.testing.assert_array_equal(np.asarray(dequantize_mixed(wq)),
+                                  np.asarray(dequantize_mixed(w8)))
+
+
+def test_kernel_bit_exact_vs_xla_reference(rng):
+    a, wq = _operands(rng)
+    w8 = pack_scaled_w8(wq)
+    ref = np.asarray(mixed_matmul_xla(a, wq).astype(jnp.float32))
+    # MixedTensor activation input (engine path)
+    got = np.asarray(mixed_matmul(a, w8, prefill_threshold=1 << 30
+                                  ).astype(jnp.float32))
+    np.testing.assert_array_equal(ref, got)
+    # pre-decoded bf16 activation input (project_all decode-once path)
+    ad = dequantize_mixed_device(a, jnp.bfloat16)
+    got2 = np.asarray(mixed_matmul_w8(ad, w8).astype(jnp.float32))
+    np.testing.assert_array_equal(ref, got2)
+
+
+def test_kernel_padded_m(rng):
+    a, wq = _operands(rng, m=17)
+    w8 = pack_scaled_w8(wq)
+    ref = np.asarray(mixed_matmul_xla(a, wq).astype(jnp.float32))
+    got = np.asarray(mixed_matmul(a, w8, prefill_threshold=1 << 30
+                                  ).astype(jnp.float32))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_prefill_path_dense_dispatch(rng):
+    a, wq = _operands(rng, m=64)
+    w8 = pack_scaled_w8(wq)
+    ref = np.asarray(mixed_matmul_xla(a, wq).astype(jnp.float32))
+    got = np.asarray(mixed_matmul(a, w8, prefill_threshold=8
+                                  ).astype(jnp.float32))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_zeros_and_negatives(rng):
+    a, _ = _operands(rng)
+    wz = np.zeros((N, K), np.float32)
+    wz[0, :64] = -0.5
+    wz[1, 128:160] = -3e-5
+    wqz = quantize_mixed(jnp.asarray(wz), K4, K6, K8, weight_fp4_only=True,
+                         pack_fp4=True)
+    w8 = pack_scaled_w8(wqz)
+    ref = np.asarray(mixed_matmul_xla(a, wqz).astype(jnp.float32))
+    got = np.asarray(mixed_matmul(a, w8, prefill_threshold=1 << 30
+                                  ).astype(jnp.float32))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_all_zero_tensor(rng):
+    a, _ = _operands(rng)
+    wqz = quantize_mixed(jnp.zeros((N, K)), K4, K6, K8,
+                         weight_fp4_only=True, pack_fp4=True)
+    w8 = pack_scaled_w8(wqz)
+    got = np.asarray(mixed_matmul(a, w8, prefill_threshold=1 << 30))
+    assert (got == 0).all()
+
+
+def test_span_overflow_raises():
+    w = np.ones((8, 128), np.float32)
+    w[0, 0] = 1e30
+    w[1, 32] = 1e-30
+    wq = quantize_mixed(jnp.asarray(w), 128, 0, 0, weight_fp4_only=True,
+                        pack_fp4=True)
+    with pytest.raises(ValueError):
+        pack_scaled_w8(wq, check=True)
+
+
+def test_surgery_auto_layout(rng):
+    """quantize_linear layout='auto' emits ScaledW8 and matches splitplane."""
+    from micromix_tpu.models.surgery import SiteCalibration, quantize_linear
+
+    w = jnp.asarray(rng.normal(0, 0.1, (N, K)), jnp.bfloat16)
+    calib = SiteCalibration(np.arange(K, dtype=np.int32), K6, K8)
+    lin_auto = quantize_linear(w, calib)
+    lin_sp = quantize_linear(w, calib, layout="splitplane")
+    assert isinstance(lin_auto.w, ScaledW8)
+    assert isinstance(lin_sp.w, MixedTensor)
+    x = jnp.asarray(rng.normal(0, 1, (8, K)), jnp.bfloat16)
+    a = quantize_mixed(x.astype(jnp.float32), K4, K6, K8)
+    ya = np.asarray(lin_auto(a).astype(jnp.float32))
+    ys = np.asarray(lin_sp(a).astype(jnp.float32))
+    np.testing.assert_array_equal(ya, ys)
