@@ -6,13 +6,18 @@ the TPU-native splash-style replacement (SURVEY.md §7.2 step 6): blockwise
 online-softmax attention that never materializes the score matrix, with
 
   * grid (batch·heads, S/BQ); each program owns one (BQ, D) query tile
-  * the K/V stream for the owning kv head resident in VMEM, walked in
-    BK-wide tiles with the flash max/denominator recurrence in f32
+  * the K/V stream stays in HBM and is walked in (BK, D) tiles through a
+    double-buffered VMEM scratch (manual async DMA) — VMEM use is O(BK·D)
+    regardless of S, so 32k+ token prefills fit (round-1 kept the whole
+    (S, D) stream VMEM-resident, capping S at a few k)
   * causal block skipping: program iq only loops over k-tiles up to its own
     diagonal, and a sliding window additionally raises the loop floor —
-    fully-masked tiles are never touched
-  * GQA by block-index mapping (query head h reads kv head h // group), no
-    jnp.repeat materialization of K/V
+    fully-masked tiles are neither fetched nor computed
+  * GQA by head-index arithmetic (query head h reads kv head h // group),
+    no jnp.repeat materialization of K/V
+  * ragged S: inputs are padded to the block size outside the kernel and
+    the output sliced back — padded key columns are unreachable because
+    causality bounds col <= row < s for every real query row.
 """
 
 from __future__ import annotations
@@ -23,13 +28,17 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 _NEG = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, bq: int, bk: int,
-                  window: Optional[int], scale: float):
+def _flash_kernel(q_ref, k_hbm, v_hbm, out_ref, kbuf, vbuf, sem, *,
+                  bq: int, bk: int, window: Optional[int], scale: float,
+                  g: int):
+    hh = pl.program_id(0)
     iq = pl.program_id(1)
+    kv_h = hh // g
     q = q_ref[0].astype(jnp.float32) * scale            # (BQ, D)
     d = q.shape[-1]
 
@@ -38,14 +47,39 @@ def _flash_kernel(q_ref, k_ref, v_ref, out_ref, *, bq: int, bk: int,
     # causal upper bound: k-tiles whose start <= last row of this q-tile
     hi = (iq * bq + bq - 1) // bk + 1
     if window is None:
-        lo = 0
+        lo = jnp.int32(0)
     else:
         lo = jnp.maximum((iq * bq - window + 1) // bk, 0)
 
+    def dma(slot, jk):
+        return [
+            pltpu.make_async_copy(
+                k_hbm.at[kv_h, pl.ds(jk * bk, bk), :], kbuf.at[slot],
+                sem.at[slot, 0]),
+            pltpu.make_async_copy(
+                v_hbm.at[kv_h, pl.ds(jk * bk, bk), :], vbuf.at[slot],
+                sem.at[slot, 1]),
+        ]
+
+    @pl.when(hi > lo)
+    def _():
+        for c in dma(lo % 2, lo):
+            c.start()
+
     def body(jk, carry):
         acc, m, den = carry
-        k = k_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)  # (BK, D)
-        v = v_ref[0, pl.ds(jk * bk, bk), :].astype(jnp.float32)
+        slot = jk % 2
+
+        @pl.when(jk + 1 < hi)
+        def _():
+            for c in dma((jk + 1) % 2, jk + 1):
+                c.start()
+
+        for c in dma(slot, jk):
+            c.wait()
+
+        k = kbuf[slot].astype(jnp.float32)                       # (BK, D)
+        v = vbuf[slot].astype(jnp.float32)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)                  # (BQ, BK)
@@ -76,7 +110,11 @@ def _pick_block(s: int) -> int:
     for b in (512, 256, 128, 64, 32, 16, 8):
         if s % b == 0:
             return min(b, s)
-    return s
+    return min(512, _round_up(s, 8))
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
 
 def flash_attention_hsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
@@ -84,7 +122,11 @@ def flash_attention_hsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
                         block_q: Optional[int] = None,
                         block_k: Optional[int] = None,
                         interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Core kernel.  q (H, S, D), k/v (Hkv, S, D) -> (H, S, D).  Causal."""
+    """Core kernel.  q (H, S, D), k/v (Hkv, S, D) -> (H, S, D).  Causal.
+
+    Any S: inputs are zero-padded to the block size and the output sliced
+    (padded keys are causally unreachable from real query rows).
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     h, s, d = q.shape
@@ -92,24 +134,37 @@ def flash_attention_hsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     g = h // hkv
     bq = block_q or _pick_block(s)
     bk = block_k or bq
-    assert s % bq == 0 and s % bk == 0, (s, bq, bk)
+    sp = _round_up(s, max(bq, bk))
+    if sp != s:
+        pad = ((0, 0), (0, sp - s), (0, 0))
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
 
     kernel = functools.partial(
         _flash_kernel, bq=bq, bk=bk, window=sliding_window,
-        scale=1.0 / (d ** 0.5))
+        scale=1.0 / (d ** 0.5), g=g)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        grid=(h, s // bq),
+        grid=(h, sp // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda hh, iq: (hh, iq, 0)),
-            pl.BlockSpec((1, s, d), lambda hh, iq: (hh // g, 0, 0)),
-            pl.BlockSpec((1, s, d), lambda hh, iq: (hh // g, 0, 0)),
+            pl.BlockSpec((1, bq, d), lambda hh, iq: (hh, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda hh, iq: (hh, iq, 0)),
-        out_shape=jax.ShapeDtypeStruct((h, s, d), q.dtype),
+        out_specs=pl.BlockSpec((1, bq, d), lambda hh, iq: (hh, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, sp, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2, bk, d), k.dtype),
+            pltpu.VMEM((2, bk, d), v.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
         interpret=interpret,
     )(q, k, v)
+    return out[:, :s] if sp != s else out
 
 
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,

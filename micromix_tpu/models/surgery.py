@@ -118,14 +118,24 @@ def quantize_linear(w: jnp.ndarray, calib: SiteCalibration,
                 bias = jnp.take(bias, jnp.asarray(row_perm, jnp.int32), axis=0)
         segs = quantize_mixed_host(wp, k4, k6, k8,
                                    weight_fp4_only=weight_fp4_only)
+        bias_b = None if bias is None else bias.astype(jnp.bfloat16)
+        if layout == "auto" and weight_fp4_only:
+            # pack ScaledW8 on the host too: one u8 upload per tensor
+            # instead of a multi-dispatch device pack (minutes/layer over
+            # the axon tunnel at 8B scale)
+            from ..mx.scaledw8 import pack_scaled_w8_host
+            try:
+                return QuantLinear(w=pack_scaled_w8_host(segs, k4, k6, k8),
+                                   bias=bias_b)
+            except ValueError:
+                pass  # exponent span too wide: fall back to split-plane
         wq = MixedTensor(
             fp4=jnp.asarray(segs["fp4"]), fp6=jnp.asarray(segs["fp6"]),
             fp8=jnp.asarray(segs["fp8"]), sf4=jnp.asarray(segs["sf4"]),
             sf6=jnp.asarray(segs["sf6"]), sf8=jnp.asarray(segs["sf8"]),
             fp4_packed=bool(k4), fp4_only=weight_fp4_only)
-        return QuantLinear(
-            w=_maybe_scaledw8(wq, layout),
-            bias=None if bias is None else bias.astype(jnp.bfloat16))
+        # reached only when ScaledW8 was skipped or failed: keep split-plane
+        return QuantLinear(w=wq, bias=bias_b)
     wp = jnp.take(w.astype(jnp.float32),
                   jnp.asarray(calib.reorder_index, dtype=jnp.int32), axis=1)
     if row_perm is not None:

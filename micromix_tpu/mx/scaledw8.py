@@ -93,13 +93,18 @@ def _scaled_values(t: MixedTensor) -> jnp.ndarray:
     return dequantize_mixed_device(t, dtype=jnp.float32)
 
 
-def pack_scaled_w8(t: MixedTensor, *, check: bool = True) -> ScaledW8:
+def pack_scaled_w8(t: MixedTensor, *, check: bool = True,
+                   base=None) -> ScaledW8:
     """MixedTensor (fp4-only weights) -> ScaledW8.
 
     check=True (eager contexts, e.g. model surgery at load time) verifies
     the exponent span fits the 6-bit field and raises ValueError otherwise.
     Inside jit pass check=False; out-of-range exponents then saturate,
     which real weight tensors never reach (span ~20 vs capacity 62).
+
+    ``base`` overrides the per-tensor exponent offset — used when several
+    shards of one logical weight must share a base so their code arrays
+    concatenate (parallel/tp_quant K-sharded projections).
     """
     vals = _scaled_values(t)
     bits = jax.lax.bitcast_convert_type(vals, _U32)
@@ -112,13 +117,19 @@ def pack_scaled_w8(t: MixedTensor, *, check: bool = True) -> ScaledW8:
     emax = jnp.max(big)
     emin = jnp.min(small)
     any_nz = jnp.any(nonzero)
-    base = jnp.where(any_nz, emin - 127, 0).astype(_I32)
+    if base is None:
+        base = jnp.where(any_nz, emin - 127, 0).astype(_I32)
+    else:
+        base = jnp.asarray(base, _I32).reshape(())
     if check:
-        span = int(jnp.where(any_nz, emax - emin, 0))
-        if span > 62:
-            raise ValueError(
-                f"scaled-weight exponent span {span} exceeds ScaledW8's 62; "
-                "use the split-plane MixedTensor layout for this tensor")
+        if bool(any_nz):
+            lo6 = int(emin - 127 - base + 1)
+            hi6 = int(emax - 127 - base + 1)
+            if not (1 <= lo6 and hi6 <= 63):
+                raise ValueError(
+                    f"scaled-weight exponents map to e6 range "
+                    f"[{lo6}, {hi6}] outside ScaledW8's [1, 63]; use the "
+                    "split-plane layout")
         if int(base) > 1:
             # the kernel rescales by 2^(base+126), which must stay a normal
             # f32; base > 1 means weight magnitudes >= 2^128 — never real.
@@ -128,6 +139,65 @@ def pack_scaled_w8(t: MixedTensor, *, check: bool = True) -> ScaledW8:
     code = jnp.where(nonzero, code, 0).astype(jnp.uint8)
     return ScaledW8(codes=code, base=base.reshape(1, 1),
                     k4=t.k4, k6=t.k6, k8=t.k8)
+
+
+def pack_scaled_w8_host(segs, k4: int, k6: int, k8: int) -> ScaledW8:
+    """NumPy pack: host-quantized segment dict -> ScaledW8, CPU-only.
+
+    ``segs`` is utils.native.quantize_mixed_host's output (numpy arrays,
+    fp4 segment split-plane packed, all segments block-interleaved,
+    fp4-only grid).  The device pack (pack_scaled_w8) needs several device
+    dispatches + a sync per tensor — minutes per layer through the axon
+    tunnel at 8B scale; this path touches the device once, to upload the
+    finished (N, K) u8 codes.
+    """
+    import numpy as np
+
+    def seg_vals(packed, codes, sf, kseg):
+        if not kseg:
+            return None
+        if packed is not None:
+            lo = packed & np.uint8(0xF)
+            hi = (packed >> 4) & np.uint8(0xF)
+            codes = np.concatenate([lo, hi], axis=-1)
+        import ml_dtypes
+        vals = codes.view(ml_dtypes.float4_e2m1fn).astype(np.float32) \
+            if codes.dtype == np.uint8 else codes.astype(np.float32)
+        # exact po2 via bit construction; ** with int exponents promotes
+        # to f64, which would silently double the later uint32 bit view
+        # f32 bits of 2^(sf-127) are sf<<23 (sf >= 1 by quantizer clip)
+        scale = (sf.astype(np.int32) << 23).astype(np.uint32) \
+            .view(np.float32)
+        return vals * np.tile(scale, (1, kseg // sf.shape[-1]))
+
+    parts = [
+        seg_vals(segs["fp4"] if k4 else None, None, segs["sf4"], k4),
+        seg_vals(None, segs["fp6"], segs["sf6"], k6),
+        seg_vals(None, segs["fp8"], segs["sf8"], k8),
+    ]
+    vals = np.concatenate([p for p in parts if p is not None], axis=-1)
+    bits = vals.view(np.uint32)
+    expf = ((bits >> 23) & 0xFF).astype(np.int32)
+    mant = ((bits >> 22) & 1).astype(np.int32)
+    sign = (bits >> 31).astype(np.int32)
+    nonzero = vals != 0.0
+    if nonzero.any():
+        emin = int(expf[nonzero].min())
+        emax = int(expf[nonzero].max())
+        base = emin - 127
+        if emax - emin > 62:
+            raise ValueError(
+                f"scaled-weight exponent span {emax - emin} exceeds 62")
+        if base > 1:
+            raise ValueError(f"scaled-weight base exponent {base} > 1")
+    else:
+        base = 0
+    e6 = np.clip(expf - 127 - base + 1, 1, 63)
+    code = np.where(nonzero, (sign << 7) | (e6 << 1) | mant, 0
+                    ).astype(np.uint8)
+    return ScaledW8(codes=jnp.asarray(code),
+                    base=jnp.full((1, 1), base, jnp.int32),
+                    k4=k4, k6=k6, k8=k8)
 
 
 def decode_scaled_w8(codes: jnp.ndarray, k0: jnp.ndarray,

@@ -82,6 +82,32 @@ def _concat_mixed(ts: List[MixedTensor]) -> MixedTensor:
         fp4_packed=ts[0].fp4_packed, fp4_only=ts[0].fp4_only)
 
 
+def _concat_shard_weights(mixed: List[MixedTensor]):
+    """Per-shard MixedTensors -> one column-concatenated device weight.
+
+    Tries the ScaledW8 layout with a COMMON base across shards (each
+    shard's code slice must decode with the replicated per-tensor base
+    inside shard_map); falls back to split-plane on range overflow.
+    The concatenated array is storage only — each shard's slice is the
+    semantically valid local tensor.  Static segment meta is the LOCAL
+    (k4, k6, k8): that is what the shard-local activation matmul checks.
+    """
+    from ..mx.scaledw8 import ScaledW8, pack_scaled_w8
+    if mixed[0].fp4_only:
+        try:
+            per = [pack_scaled_w8(t) for t in mixed]
+            base = min(int(p.base.reshape(())) for p in per)
+            per = [pack_scaled_w8(t, base=base) for t in mixed]
+            k4_l, k6_l, k8_l = mixed[0].segments()
+            return ScaledW8(
+                codes=jnp.concatenate([p.codes for p in per], axis=1),
+                base=jnp.full((1, 1), base, jnp.int32),
+                k4=k4_l, k6=k6_l, k8=k8_l)
+        except ValueError:
+            pass
+    return _concat_mixed(mixed)
+
+
 def _kshard_linear(w: jnp.ndarray, calib: SiteCalibration, tp: int, *,
                    bias=None, weight_fp4_only: bool = True):
     """Quantize a (N, K) weight shard-locally; returns (QuantLinear with
@@ -93,9 +119,10 @@ def _kshard_linear(w: jnp.ndarray, calib: SiteCalibration, tp: int, *,
     k_l = k // tp
     locals_ = split_site_calibration(calib, k, tp)
     qs = [quantize_linear(w[:, i * k_l:(i + 1) * k_l], locals_[i],
-                          weight_fp4_only=weight_fp4_only)
+                          weight_fp4_only=weight_fp4_only,
+                          layout="splitplane")
           for i in range(tp)]
-    wq = _concat_mixed([q.w for q in qs])
+    wq = _concat_shard_weights([q.w for q in qs])
     k4_l, k6_l, k8_l = locals_[0].splits(k_l)
     perms = np.concatenate([
         lay.compose_segmented(c.reorder_index, k4_l, k6_l, k8_l)
@@ -168,7 +195,11 @@ def quantize_model_tp(params: Params, cfg: ModelConfig,
     }
 
 
-def _mixed_spec(spec: P, like: MixedTensor) -> MixedTensor:
+def _mixed_spec(spec: P, like) -> Any:
+    from ..mx.scaledw8 import ScaledW8
+    if isinstance(like, ScaledW8):
+        return ScaledW8(codes=spec, base=P(), k4=like.k4, k6=like.k6,
+                        k8=like.k8)
     return MixedTensor(fp4=spec, fp6=spec, fp8=spec,
                        sf4=spec, sf6=spec, sf8=spec,
                        fp4_packed=like.fp4_packed, fp4_only=like.fp4_only)

@@ -101,18 +101,20 @@ def tp_prefill(params: Params, cfg_l: ModelConfig, caches, tokens,
     """shard_map body: prefill with local heads; replicated logits out.
 
     ``hist_len`` (static) enables chunked prefill exactly like
-    runner.prefill: the chunk attends over the first hist_len cached
-    positions of its *local head slice* — gather_kv reads local pages, so
-    the history path needs no extra collectives.
+    runner.prefill: the chunk attends over the cached positions of its
+    *local head slice* before start_pos — on TPU via the paged Pallas
+    kernel (hist_len=-1 sentinel, one compile for all history lengths),
+    on CPU via gather_kv + dense mask.  Local pages only, so the history
+    path needs no extra collectives.
     """
     b, s = tokens.shape
+    paged_hist = bool(hist_len) and jax.default_backend() != "cpu"
     h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
     positions = start_pos + jnp.arange(s)
     cos, sin = rope_table(positions, cfg_l.head_dim, cfg_l.rope_theta,
                           cfg_l.rope_scaling)
     mask = causal_mask(s, s, cfg_l.sliding_window)
-    if hist_len:
-        from ..serve.kv_cache import gather_kv
+    if hist_len and not paged_hist:
         qi = positions[:, None]
         kj = jnp.arange(hist_len)[None, :]
         hist_allow = kj < start_pos
@@ -130,7 +132,12 @@ def tp_prefill(params: Params, cfg_l: ModelConfig, caches, tokens,
         k = apply_rope(k, cos, sin)
         cache = append_kv(next(cache_it), seq_ids, positions, k[0], v[0])
         new_caches.append(cache)
-        if hist_len:
+        if paged_hist:
+            from ..serve.prefill_attention import paged_prefill_attention
+            out = paged_prefill_attention(
+                q[0], k[0], v[0], cache, seq_id, start_pos,
+                sliding_window=cfg_l.sliding_window)[None]
+        elif hist_len:
             from ..serve.kv_cache import gather_kv
             kh, vh = gather_kv(cache, seq_id, hist_len)  # (hist, Hl, D)
             k_full = jnp.concatenate([kh[None], k], axis=1)

@@ -223,19 +223,25 @@ class Engine:
             slot.pending = list(ctx)
 
     def _prefill_for(self, hist_gather: int):
-        """Jitted prefill specialized on the (static) gathered-history len."""
+        """Jitted prefill for chunks with history.
+
+        On TPU the paged prefill kernel derives the history length from
+        start_pos at runtime, so every history length shares ONE compiled
+        program per chunk bucket (hist_len=-1 sentinel); the CPU dense
+        reference path still specializes on the concrete length.
+        """
         if hist_gather == 0:
             return self._prefill
-        if hist_gather not in self._prefill_cache:
+        key = hist_gather if jax.default_backend() == "cpu" else -1
+        if key not in self._prefill_cache:
             if self._prefill_hist_factory is not None:
-                self._prefill_cache[hist_gather] = \
-                    self._prefill_hist_factory(hist_gather)
+                self._prefill_cache[key] = self._prefill_hist_factory(key)
             else:
                 cfg = self.cfg
-                self._prefill_cache[hist_gather] = jax.jit(
-                    lambda p, c, t, sid, sp, li, h=hist_gather: prefill(
+                self._prefill_cache[key] = jax.jit(
+                    lambda p, c, t, sid, sp, li, h=key: prefill(
                         p, cfg, c, t, sid, sp, li, hist_len=h))
-        return self._prefill_cache[hist_gather]
+        return self._prefill_cache[key]
 
     def _prefill_step(self, slot_id: int) -> bool:
         """Run ONE prefill chunk for a pending slot.  False on page stall."""

@@ -68,21 +68,27 @@ def prefill(params: Params, cfg: ModelConfig, caches: Caches,
     ``last_idx`` selects the true last prompt position when tokens are
     right-padded to a length bucket (defaults to S-1).
 
-    ``hist_len`` (static, multiple of page_size) enables CHUNKED prefill:
-    the chunk additionally attends over the first hist_len cached
-    (quantized) positions — entries at or beyond ``start_pos`` are masked,
-    so hist_len may over-cover to the page boundary.  In-chunk attention
-    stays exact bf16; cross-chunk attention reads the quantized cache,
+    ``hist_len`` (static) enables CHUNKED prefill: the chunk additionally
+    attends over the cached (quantized) positions before ``start_pos``.
+    On TPU this runs the paged Pallas kernel
+    (serve/prefill_attention.py), which reads quantized pages directly
+    and derives the history length from start_pos at runtime — any
+    truthy hist_len (the engine passes -1) compiles ONE program per
+    chunk bucket.  On CPU the dense-gather reference path runs instead
+    and needs the concrete hist_len (multiple of page_size; entries at
+    or beyond start_pos are masked).  In-chunk attention stays exact
+    bf16 either way; cross-chunk attention reads the quantized cache,
     matching what decode sees.
     """
     b, s = tokens.shape
     assert b == 1
+    paged_hist = bool(hist_len) and jax.default_backend() != "cpu"
     h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
     positions = start_pos + jnp.arange(s)
     cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta,
                           cfg.rope_scaling)
     mask = causal_mask(s, s, cfg.sliding_window)
-    if hist_len:
+    if hist_len and not paged_hist:
         qi = positions[:, None]                      # global query positions
         kj = jnp.arange(hist_len)[None, :]
         hist_allow = kj < start_pos
@@ -99,7 +105,12 @@ def prefill(params: Params, cfg: ModelConfig, caches: Caches,
         k = apply_rope(k, cos, sin)
         cache = append_kv(cache, seq_ids, positions, k[0], v[0])
         new_caches.append(cache)
-        if hist_len:
+        if paged_hist:
+            from .prefill_attention import paged_prefill_attention
+            out = paged_prefill_attention(
+                q[0], k[0], v[0], cache, seq_id, start_pos,
+                sliding_window=cfg.sliding_window)[None]
+        elif hist_len:
             kh, vh = gather_kv(cache, seq_id, hist_len)      # (hist, Hkv, D)
             k_full = jnp.concatenate([kh[None], k], axis=1)
             v_full = jnp.concatenate([vh[None], v], axis=1)

@@ -64,3 +64,31 @@ def test_flash_bf16(rng):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_flash_ragged_s(rng):
+    """S not a multiple of any block size: padded outside, sliced back."""
+    s, h, hkv, d = 75, 4, 2, 64
+    q = _rand(rng, 1, s, h, d)
+    k = _rand(rng, 1, s, hkv, d)
+    v = _rand(rng, 1, s, hkv, d)
+    ref = attention(q, k, v, causal_mask(s, s))
+    out = flash_attention(q, k, v, interpret=True)
+    assert out.shape == (1, s, h, d)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_flash_streaming_long_s(rng):
+    """S large enough that round-1's whole-stream VMEM residency would not
+    fit keeps working: the kernel streams K/V in (BK, D) tiles."""
+    s, h, hkv, d = 1024, 2, 1, 64
+    q = _rand(rng, 1, s, h, d)
+    k = _rand(rng, 1, s, hkv, d)
+    v = _rand(rng, 1, s, hkv, d)
+    ref = attention(q, k, v, causal_mask(s, s))
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-3)

@@ -125,3 +125,20 @@ def test_surgery_auto_layout(rng):
     ya = np.asarray(lin_auto(a).astype(jnp.float32))
     ys = np.asarray(lin_sp(a).astype(jnp.float32))
     np.testing.assert_array_equal(ya, ys)
+
+
+def test_host_pack_matches_device_pack(rng):
+    """pack_scaled_w8_host (numpy) is bit-identical to the jnp pack."""
+    from micromix_tpu.mx.scaledw8 import pack_scaled_w8_host
+    from micromix_tpu.utils.native import quantize_mixed_host
+
+    w = rng.normal(0, 0.3, (N, K)).astype(np.float32)
+    segs = quantize_mixed_host(w, K4, K6, K8, weight_fp4_only=True)
+    host = pack_scaled_w8_host(segs, K4, K6, K8)
+    wq = quantize_mixed(jnp.asarray(w), K4, K6, K8, weight_fp4_only=True,
+                        pack_fp4=True)
+    dev = pack_scaled_w8(wq)
+    np.testing.assert_array_equal(np.asarray(host.codes),
+                                  np.asarray(dev.codes))
+    np.testing.assert_array_equal(np.asarray(host.base),
+                                  np.asarray(dev.base))
