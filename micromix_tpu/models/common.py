@@ -302,6 +302,21 @@ def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
     if not quantized:
         xn = rmsnorm(x, norm_gamma, rms_eps) if norm_gamma is not None else x
         return [lin(xn) for lin in linears]
+    from .hetero import FakeQuantSite, fakequant_site
+    if isinstance(site, FakeQuantSite):
+        # heterogeneous-budget path (models/hetero.py): budgets are data,
+        # quantization goes straight to the exact bf16 grid image.  The
+        # norm stays f32 into the quantizer — same as the fused
+        # rmsnorm_quantize_x (no intermediate bf16 round).
+        if norm_gamma is not None:
+            xf = x.astype(jnp.float32)
+            rvar = jax.lax.rsqrt(
+                jnp.mean(xf * xf, axis=-1, keepdims=True) + rms_eps)
+            xn = xf * rvar * norm_gamma.astype(jnp.float32)
+        else:
+            xn = x
+        qx = fakequant_site(xn, site).reshape(-1, x.shape[-1])
+        return [lin(qx).reshape(*lead, -1) for lin in linears]
     if norm_gamma is not None:
         qx = rmsnorm_quantize_x(x, norm_gamma, site.perm, *site.splits,
                                 eps=rms_eps)

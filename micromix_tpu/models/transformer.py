@@ -91,7 +91,13 @@ def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
                            p["ln2"], cfg.rms_eps)
     if _is_quant(p["down"]):
         site = p["down_site"]
-        dq = silu_mul_quantize_x(gate, up, *site.splits)
+        from .hetero import FakeQuantSite, fakequant_site
+        if isinstance(site, FakeQuantSite):
+            act = (jax.nn.silu(gate.astype(jnp.float32))
+                   * up.astype(jnp.float32))
+            dq = fakequant_site(act, site).reshape(-1, act.shape[-1])
+        else:
+            dq = silu_mul_quantize_x(gate, up, *site.splits)
         y = p["down"](dq)
         return y.reshape(*h.shape[:-1], y.shape[-1])
     return p["down"](jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16)

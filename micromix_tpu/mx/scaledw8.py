@@ -107,6 +107,19 @@ def pack_scaled_w8(t: MixedTensor, *, check: bool = True,
     concatenate (parallel/tp_quant K-sharded projections).
     """
     vals = _scaled_values(t)
+    codes, base = encode_scaled_values(vals, check=check, base=base)
+    return ScaledW8(codes=codes, base=base, k4=t.k4, k6=t.k6, k8=t.k8)
+
+
+def encode_scaled_values(vals: jnp.ndarray, *, check: bool = True,
+                         base=None):
+    """Exact scaled values (single mantissa bit!) -> (u8 codes, base (1,1)).
+
+    Core of the ScaledW8 encode, shared by the segment-interleaved pack
+    above and the canonical-order pack used by the heterogeneous-budget
+    pipeline path (models/hetero.py).
+    """
+    vals = vals.astype(_F32)
     bits = jax.lax.bitcast_convert_type(vals, _U32)
     expf = ((bits >> 23) & _U32(0xFF)).astype(_I32)  # biased f32 exponent
     mant = ((bits >> 22) & _U32(1)).astype(_I32)     # fp4 has 1 mantissa bit
@@ -137,8 +150,7 @@ def pack_scaled_w8(t: MixedTensor, *, check: bool = True,
     e6 = jnp.clip(expf - 127 - base + 1, 1, 63)
     code = (sign << 7) | (e6 << 1) | mant
     code = jnp.where(nonzero, code, 0).astype(jnp.uint8)
-    return ScaledW8(codes=code, base=base.reshape(1, 1),
-                    k4=t.k4, k6=t.k6, k8=t.k8)
+    return code, base.reshape(1, 1)
 
 
 def pack_scaled_w8_host(segs, k4: int, k6: int, k8: int) -> ScaledW8:
@@ -229,6 +241,8 @@ def dequantize_scaled_w8(w: ScaledW8, dtype=jnp.bfloat16) -> jnp.ndarray:
 __all__ = [
     "ScaledW8",
     "pack_scaled_w8",
+    "pack_scaled_w8_host",
+    "encode_scaled_values",
     "decode_scaled_w8",
     "scaled_w8_k0",
     "dequantize_scaled_w8",

@@ -60,17 +60,22 @@ def _pp_local(layers_local, embed, tokens_mb, *, cfg: ModelConfig,
     mask = causal_mask(s, s, cfg.sliding_window)
 
     def apply_stage(h):
-        def body(i, h):
-            p = jax.tree.map(lambda x: x[i], layers_local)
+        # lax.scan, not fori_loop + manual tree indexing: scan's stacked-
+        # param slicing reproduces the unrolled per-layer computation
+        # bit-for-bit on CPU, while fori's dynamic-slice operands compile
+        # to a different (validly-rounded but non-identical) GEMM path —
+        # measured 0.58 hidden-state drift after 2 quantized layers.
+        def body(h, p):
             return decoder_layer(h, p, cfg, cos, sin, mask, None,
-                                 use_flash=use_flash)
-        return jax.lax.fori_loop(0, l_per_stage, body, h)
+                                 use_flash=use_flash), None
+        h, _ = jax.lax.scan(body, h, layers_local)
+        return h
 
     fwd = [(i, i + 1) for i in range(n_stages - 1)]
     h0 = jnp.zeros((mb, s, cfg.hidden_size), jnp.bfloat16)
     outs0 = jnp.zeros((n_micro, mb, s, cfg.hidden_size), jnp.bfloat16)
 
-    def tick(t, carry):
+    def tick(carry, t):
         h_prev, outs = carry
         h_recv = jax.lax.ppermute(h_prev, "stage", fwd)
         # stage 0 embeds microbatch t; everyone else takes the handoff
@@ -86,9 +91,11 @@ def _pp_local(layers_local, embed, tokens_mb, *, cfg: ModelConfig,
         cur = jax.lax.dynamic_index_in_dim(outs, idx, 0, keepdims=False)
         outs = jax.lax.dynamic_update_index_in_dim(
             outs, jnp.where(valid, h_out, cur), idx, 0)
-        return h_out, outs
+        return (h_out, outs), None
 
-    _, outs = jax.lax.fori_loop(0, n_micro + n_stages - 1, tick, (h0, outs0))
+    (_, outs), _ = jax.lax.scan(
+        tick, (h0, outs0),
+        jnp.arange(n_micro + n_stages - 1, dtype=jnp.int32))
     return outs[None]  # leading "stage" axis for out_specs
 
 
