@@ -53,6 +53,12 @@ class ModelConfig:
     sliding_window: Optional[int] = None  # Qwen2 optional
     num_experts: int = 0              # Mixtral: 8
     num_experts_per_tok: int = 0      # Mixtral: 2
+    # None -> dense dispatch (every expert on every token, exact);
+    # float -> fixed-capacity token dispatch: each expert processes at most
+    # ceil(T * top_k / E * factor) tokens (GShard/Switch semantics; tokens
+    # over capacity are dropped for that expert).  factor >= E/top_k means
+    # capacity >= T: no drops, numerics match dense dispatch.
+    moe_capacity_factor: Optional[float] = None
     max_position_embeddings: int = 32768
     # RoPE frequency scaling (Llama 3.1+ checkpoints):
     #   ("llama3", factor, low_freq_factor, high_freq_factor, orig_max_pos)

@@ -104,6 +104,39 @@ def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
                      * up)
 
 
+def moe_capacity(cfg: ModelConfig, t: int) -> int:
+    """Per-expert token capacity for T tokens (8-row aligned, <= T)."""
+    ideal = t * cfg.num_experts_per_tok / cfg.num_experts
+    c = int(-(-ideal * float(cfg.moe_capacity_factor) // 1))
+    return min(t, max(8, (c + 7) // 8 * 8))
+
+
+def capacity_dispatch(weights: jnp.ndarray, capacity: int):
+    """Routing weights (T, E) -> (idx (E, C) int32 in [0, T], gate (E, C)).
+
+    Slot assignment is by token order (cumulative rank per expert, the
+    GShard auction): token t takes expert e's slot rank(t, e) if below
+    capacity, else it is dropped for e.  idx == T marks an empty slot;
+    gather sources and scatter targets use a padded T+1 row.  Replaces the
+    dense all-experts-on-all-tokens form (reference intent:
+    qMixtralLayer.py:414-452 gathers only routed tokens per expert).
+    """
+    t, e = weights.shape
+    routed = weights > 0
+    pos = jnp.cumsum(routed.astype(jnp.int32), axis=0) - 1        # (T, E)
+    keep = jnp.logical_and(routed, pos < capacity)
+    slot = jnp.where(keep, pos, capacity)                          # (T, E)
+    t_ids = jnp.broadcast_to(jnp.arange(t)[:, None], (t, e))
+    e_ids = jnp.broadcast_to(jnp.arange(e)[None, :], (t, e))
+    idx = jnp.full((e, capacity + 1), t, jnp.int32)
+    idx = idx.at[e_ids.reshape(-1), slot.reshape(-1)].set(
+        t_ids.reshape(-1).astype(jnp.int32))
+    gate = jnp.zeros((e, capacity + 1), weights.dtype)
+    gate = gate.at[e_ids.reshape(-1), slot.reshape(-1)].set(
+        jnp.where(keep, weights, 0).reshape(-1))
+    return idx[:, :capacity], gate[:, :capacity]
+
+
 def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
               tap=None) -> jnp.ndarray:
     """Mixtral sparse-MoE block (qMixtralLayer.py:367-452), dense dispatch.
@@ -129,6 +162,27 @@ def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
     if tap is not None:
         # router input feeds gate + every expert's w1/w3 for smoothing
         tap("mlp_in", xn)
+    if cfg.moe_capacity_factor is not None and tap is None:
+        # capacity dispatch: each expert runs on <= C gathered tokens, so
+        # FLOPs/token ~ top_k * factor instead of num_experts
+        cap = moe_capacity(cfg, x.shape[0])
+        idx, gate = capacity_dispatch(weights, cap)
+        xn_pad = jnp.concatenate(
+            [xn, jnp.zeros((1, k), xn.dtype)], axis=0)
+        out_pad = jnp.zeros((x.shape[0] + 1, k), jnp.float32)
+        for e, ep in enumerate(p["experts"]):
+            xg = xn_pad[idx[e]]                              # (C, K)
+            if _is_quant(ep["w1"]):
+                g, u = project_all(xg, ep["site_in"], [ep["w1"], ep["w3"]])
+                dq = silu_mul_quantize_x(g, u, *ep["site_down"].splits)
+                ye = ep["w2"](dq)
+            else:
+                g, u = ep["w1"](xg), ep["w3"](xg)
+                ye = ep["w2"](jax.nn.silu(g.astype(jnp.float32)).astype(
+                    jnp.bfloat16) * u)
+            out_pad = out_pad.at[idx[e]].add(
+                ye.astype(jnp.float32) * gate[e][:, None])
+        return out_pad[:-1].astype(jnp.bfloat16).reshape(b, s, k)
     out = jnp.zeros((x.shape[0], k), jnp.float32)
     for e, ep in enumerate(p["experts"]):
         if tap is not None:

@@ -130,14 +130,38 @@ def ep_moe_forward_quant(x: jnp.ndarray, ln2: jnp.ndarray,
             "tk,tke->te", top_w,
             jax.nn.one_hot(top_i, cfg.num_experts, dtype=probs.dtype))
         e_off = jax.lax.axis_index("expert") * el
-        out = jnp.zeros((xn.shape[0], x.shape[-1]), jnp.float32)
-        for i in range(el):
+
+        def expert_ffn(i, qa):
             lin = lambda t: jax.tree.map(lambda a: a[i], t)
-            qa = reorder_quantize_x(xn, perm_in[i], *splits_in)
             g = lin(w1)(qa)
             u = lin(w3)(qa)
             dq = silu_mul_quantize_x(g, u, *splits_down)
-            ye = lin(w2)(dq)
+            return lin(w2)(dq)
+
+        if cfg.moe_capacity_factor is not None:
+            # fixed-capacity dispatch (models/transformer.capacity_dispatch):
+            # the routing table is replicated, so every device selects the
+            # SAME slots; each gathers/computes only its local experts' rows
+            from ..models.transformer import capacity_dispatch, moe_capacity
+            cap = moe_capacity(cfg, xn.shape[0])
+            idx, gate = capacity_dispatch(weights, cap)
+            xn_pad = jnp.concatenate(
+                [xn, jnp.zeros((1, xn.shape[-1]), xn.dtype)], axis=0)
+            out = jnp.zeros((xn.shape[0] + 1, x.shape[-1]), jnp.float32)
+            for i in range(el):
+                rows = jax.lax.dynamic_index_in_dim(idx, e_off + i, 0,
+                                                    keepdims=False)
+                gates = jax.lax.dynamic_index_in_dim(gate, e_off + i, 0,
+                                                     keepdims=False)
+                qa = reorder_quantize_x(xn_pad[rows], perm_in[i], *splits_in)
+                ye = expert_ffn(i, qa)
+                out = out.at[rows].add(
+                    ye.astype(jnp.float32) * gates[:, None])
+            return jax.lax.psum(out[:-1], "expert").astype(jnp.bfloat16)
+        out = jnp.zeros((xn.shape[0], x.shape[-1]), jnp.float32)
+        for i in range(el):
+            qa = reorder_quantize_x(xn, perm_in[i], *splits_in)
+            ye = expert_ffn(i, qa)
             out = out + ye.astype(jnp.float32) * weights[:, e_off + i][:, None]
         return jax.lax.psum(out, "expert").astype(jnp.bfloat16)
 

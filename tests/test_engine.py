@@ -175,6 +175,35 @@ def test_engine_mixtral_moe(rng):
     assert all(0 <= t < 64 for r in reqs for t in r.output)
 
 
+def test_engine_mixtral_capacity_dispatch(rng):
+    """MoE serving with fixed-capacity dispatch: generous capacity matches
+    the dense-dispatch engine's greedy outputs token for token."""
+    import dataclasses
+    from micromix_tpu.models import default_calibration, quantize_model
+
+    cfg = ModelConfig(arch="mixtral", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=32, rope_theta=10000.0,
+                      rms_eps=1e-6, num_experts=4, num_experts_per_tok=2)
+    params = quantize_model(
+        random_dense_params(cfg, seed=31), cfg,
+        default_calibration(cfg, p6=32, p8=32, seed=31))
+    prompts = [list(rng.integers(0, 64, 6)) for _ in range(2)]
+
+    def run(c):
+        eng = Engine(params, c, max_seqs=2, page_size=16,
+                     max_pages_per_seq=4, prefill_buckets=(16,),
+                     decode_chunk=2)
+        reqs = [Request(req_id=i, prompt=list(p), max_new_tokens=4)
+                for i, p in enumerate(prompts)]
+        eng.run(reqs)
+        return [r.output for r in reqs]
+
+    dense_out = run(cfg)
+    cap_cfg = dataclasses.replace(cfg, moe_capacity_factor=2.0)  # = E/top_k
+    assert run(cap_cfg) == dense_out
+
+
 def test_engine_qwen2_sliding_window(rng):
     """Qwen2 shape: qkv bias + sliding window through prefill and decode."""
     from micromix_tpu.models import default_calibration, quantize_model
