@@ -14,6 +14,8 @@ Prints exactly one JSON line:
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -59,6 +61,30 @@ def validate() -> None:
         print(f"{tag}: max rel diff {rel.max():.3e}, exact-match {exact:.1%}")
     print("GEMM VAL PASS!" if ok else "GEMM VAL FAIL!")
     sys.exit(0 if ok else 1)
+
+
+def serving_lines() -> None:
+    """Secondary driver-visible metrics: 8B-shape serving decode + TTFT.
+
+    Runs benchmarks/bench_8b_decode.py in a time-boxed subprocess (its own
+    jax process; isolates compile-cache state and crashes) and re-emits its
+    JSON line so round-over-round serving regressions land in BENCH_r*.json
+    alongside the kernel headline.  Skipped cleanly on timeout/failure —
+    the headline GEMM line always prints last.
+    """
+    try:
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "benchmarks", "bench_8b_decode.py"),
+             "--share-layers", "--decode-chunk", "16", "--new-tokens", "48"],
+            capture_output=True, text=True, timeout=1500)
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                print(line, flush=True)
+    except Exception:
+        pass  # serving metrics are best-effort; never block the headline
 
 
 def main() -> None:
@@ -127,4 +153,6 @@ def main() -> None:
 if __name__ == "__main__":
     if "--validate" in sys.argv:
         validate()
+    if "--no-serving" not in sys.argv:
+        serving_lines()
     main()

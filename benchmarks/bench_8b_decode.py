@@ -51,10 +51,12 @@ def build_quantized(cfg, p6: int, p8: int, seed: int = 0,
                    MLP_IN: calib(hid), DOWN_IN: calib(inter)}
 
     def lin(n, k):
-        # np-backed DenseLinear: the host quantizer reads it directly
-        return DenseLinear(
-            w=rng.normal(0, 1.0 / np.sqrt(k), (n, k)).astype(np.float32),
-            bias=None)
+        # np-backed DenseLinear: the host quantizer reads it directly.
+        # standard_normal(dtype=f32) is ~2x rng.normal's f64 path — the
+        # synthetic build was rng-bound at 8B scale
+        w = rng.standard_normal((n, k), dtype=np.float32)
+        w *= np.float32(1.0 / np.sqrt(k))
+        return DenseLinear(w=w, bias=None)
 
     layers = []
     t0 = time.perf_counter()
@@ -144,11 +146,14 @@ def main(argv=None) -> None:
     dt = time.perf_counter() - t0
     n_params = sum(
         int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+    ttfts = sorted(eng.ttft.values())
+    ttft_p50 = ttfts[len(ttfts) // 2] if ttfts else float("nan")
     emit(f"8B-shape decode tokens/s/chip B={args.batch} "
          f"L={cfg.num_layers} H={cfg.hidden_size}",
          eng.decode_tokens / dt, "tokens/s",
          decode_tokens=eng.decode_tokens, decode_s=round(dt, 3),
          prefill_s=round(prefill_s, 3),
+         ttft_p50_ms=round(1e3 * ttft_p50, 1),
          ms_per_decode_step=round(1e3 * dt * args.batch /
                                   max(eng.decode_tokens, 1), 2),
          approx_packed_gb=round(sum(

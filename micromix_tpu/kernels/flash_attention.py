@@ -36,10 +36,11 @@ _NEG = -1e30
 def _flash_kernel(q_ref, k_hbm, v_hbm, out_ref, kbuf, vbuf, sem, *,
                   bq: int, bk: int, window: Optional[int], scale: float,
                   g: int):
-    hh = pl.program_id(0)
-    iq = pl.program_id(1)
+    bi = pl.program_id(0)
+    hh = pl.program_id(1)
+    iq = pl.program_id(2)
     kv_h = hh // g
-    q = q_ref[0].astype(jnp.float32) * scale            # (BQ, D)
+    q = q_ref[0, 0].astype(jnp.float32) * scale         # (BQ, D)
     d = q.shape[-1]
 
     row = iq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
@@ -54,10 +55,10 @@ def _flash_kernel(q_ref, k_hbm, v_hbm, out_ref, kbuf, vbuf, sem, *,
     def dma(slot, jk):
         return [
             pltpu.make_async_copy(
-                k_hbm.at[kv_h, pl.ds(jk * bk, bk), :], kbuf.at[slot],
+                k_hbm.at[bi, kv_h, pl.ds(jk * bk, bk), :], kbuf.at[slot],
                 sem.at[slot, 0]),
             pltpu.make_async_copy(
-                v_hbm.at[kv_h, pl.ds(jk * bk, bk), :], vbuf.at[slot],
+                v_hbm.at[bi, kv_h, pl.ds(jk * bk, bk), :], vbuf.at[slot],
                 sem.at[slot, 1]),
         ]
 
@@ -103,7 +104,7 @@ def _flash_kernel(q_ref, k_hbm, v_hbm, out_ref, kbuf, vbuf, sem, *,
     den0 = jnp.zeros((bq,), jnp.float32)
     acc, m, den = jax.lax.fori_loop(lo, hi, body, (acc0, m0, den0))
     out = acc / jnp.maximum(den, 1e-30)[:, None]
-    out_ref[0] = out.astype(out_ref.dtype)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
 def _pick_block(s: int) -> int:
@@ -117,29 +118,38 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def flash_attention_hsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
-                        sliding_window: Optional[int] = None,
-                        block_q: Optional[int] = None,
-                        block_k: Optional[int] = None,
-                        interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Core kernel.  q (H, S, D), k/v (Hkv, S, D) -> (H, S, D).  Causal.
+def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                    sliding_window: Optional[int] = None,
+                    block_q: Optional[int] = None,
+                    block_k: Optional[int] = None,
+                    interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Causal flash attention in the model zoo's layout.
+
+    q (B, S, H, D), k/v (B, S, Hkv, D) -> (B, S, H, D); drop-in for the
+    masked XLA path (models/common.py attention) during prefill.  Batch is
+    a GRID dimension, not a vmap: manual-DMA kernels with ANY-space
+    operands cannot be vmapped (Pallas requires whole-array blocks there),
+    and the grid form shares one compiled program across B.
 
     Any S: inputs are zero-padded to the block size and the output sliced
     (padded keys are causally unreachable from real query rows).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
-    h, s, d = q.shape
-    hkv = k.shape[0]
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
     g = h // hkv
     bq = block_q or _pick_block(s)
     bk = block_k or bq
     sp = _round_up(s, max(bq, bk))
     if sp != s:
-        pad = ((0, 0), (0, sp - s), (0, 0))
+        pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
+    qt = q.transpose(0, 2, 1, 3)        # (B, H, S, D)
+    kt = k.transpose(0, 2, 1, 3)        # (B, Hkv, S, D)
+    vt = v.transpose(0, 2, 1, 3)
 
     kernel = functools.partial(
         _flash_kernel, bq=bq, bk=bk, window=sliding_window,
@@ -147,41 +157,39 @@ def flash_attention_hsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
 
     out = pl.pallas_call(
         kernel,
-        grid=(h, sp // bq),
+        grid=(b, h, sp // bq),
         in_specs=[
-            pl.BlockSpec((1, bq, d), lambda hh, iq: (hh, iq, 0),
+            pl.BlockSpec((1, 1, bq, d), lambda bi, hh, iq: (bi, hh, iq, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, bq, d), lambda hh, iq: (hh, iq, 0),
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda bi, hh, iq: (bi, hh, iq, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((h, sp, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, h, sp, d), q.dtype),
         scratch_shapes=[
             pltpu.VMEM((2, bk, d), k.dtype),
             pltpu.VMEM((2, bk, d), v.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
         interpret=interpret,
-    )(q, k, v)
+    )(qt, kt, vt)
+    out = out.transpose(0, 2, 1, 3)     # (B, S, H, D)
     return out[:, :s] if sp != s else out
 
 
-def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
-                    sliding_window: Optional[int] = None,
-                    interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Causal flash attention in the model zoo's layout.
-
-    q (B, S, H, D), k/v (B, S, Hkv, D) -> (B, S, H, D); drop-in for the
-    masked XLA path (models/common.py attention) during prefill.
-    """
-    def one(q1, k1, v1):
-        return flash_attention_hsd(
-            q1.transpose(1, 0, 2), k1.transpose(1, 0, 2),
-            v1.transpose(1, 0, 2), sliding_window=sliding_window,
-            interpret=interpret).transpose(1, 0, 2)
-
-    return jax.vmap(one)(q, k, v)
+def flash_attention_hsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
+                        sliding_window: Optional[int] = None,
+                        block_q: Optional[int] = None,
+                        block_k: Optional[int] = None,
+                        interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Single-sequence core API.  q (H, S, D), k/v (Hkv, S, D)."""
+    return flash_attention(
+        q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
+        v.transpose(1, 0, 2)[None], sliding_window=sliding_window,
+        block_q=block_q, block_k=block_k,
+        interpret=interpret)[0].transpose(1, 0, 2)
 
 
 __all__ = ["flash_attention", "flash_attention_hsd"]

@@ -69,12 +69,31 @@ def _parse_rope_scaling(rs):
 
 def _open_safetensors(ckpt_dir: str):
     from safetensors import safe_open
+    # sharded checkpoints ship model.safetensors.index.json with a
+    # weight_map {tensor name -> shard file}; honor it when present (and
+    # validate the referenced shards exist) — real HF directories may also
+    # contain consolidated/duplicate safetensors the glob must not merge
+    idx_path = os.path.join(ckpt_dir, "model.safetensors.index.json")
+    if os.path.exists(idx_path):
+        with open(idx_path) as f:
+            weight_map = json.load(f)["weight_map"]
+        handles: Dict[str, Any] = {}
+        index = {}
+        for key, fname in weight_map.items():
+            path = os.path.join(ckpt_dir, fname)
+            if fname not in handles:
+                if not os.path.exists(path):
+                    raise FileNotFoundError(
+                        f"index.json references missing shard {fname}")
+                handles[fname] = safe_open(path, framework="np")
+            index[key] = handles[fname]
+        return index
     files = sorted(glob.glob(os.path.join(ckpt_dir, "*.safetensors")))
     if not files:
         raise FileNotFoundError(f"no *.safetensors under {ckpt_dir}")
-    handles = [safe_open(f, framework="np") for f in files]
+    handles_l = [safe_open(f, framework="np") for f in files]
     index = {}
-    for h in handles:
+    for h in handles_l:
         for key in h.keys():
             index[key] = h
     return index

@@ -116,19 +116,32 @@ def quantize_linear(w: jnp.ndarray, calib: SiteCalibration,
             wp = wp[np.asarray(row_perm)]
             if bias is not None:
                 bias = jnp.take(bias, jnp.asarray(row_perm, jnp.int32), axis=0)
-        segs = quantize_mixed_host(wp, k4, k6, k8,
-                                   weight_fp4_only=weight_fp4_only)
         bias_b = None if bias is None else bias.astype(jnp.bfloat16)
         if layout == "auto" and weight_fp4_only:
-            # pack ScaledW8 on the host too: one u8 upload per tensor
-            # instead of a multi-dispatch device pack (minutes/layer over
-            # the axon tunnel at 8B scale)
-            from ..mx.scaledw8 import pack_scaled_w8_host
+            # fused native quantize+pack (multithreaded C++): one u8 upload
+            # per tensor; the numpy pack is the no-compiler fallback
+            from ..mx.scaledw8 import ScaledW8, pack_scaled_w8_host
+            from ..utils.native import quantize_scaledw8_host
+            got = quantize_scaledw8_host(wp, k4, k6, k8)
+            if got is not None:
+                codes, base = got
+                return QuantLinear(
+                    w=ScaledW8(codes=jnp.asarray(codes),
+                               base=jnp.full((1, 1), base, jnp.int32),
+                               k4=k4, k6=k6, k8=k8),
+                    bias=bias_b)
+            segs = quantize_mixed_host(wp, k4, k6, k8,
+                                       weight_fp4_only=weight_fp4_only)
             try:
                 return QuantLinear(w=pack_scaled_w8_host(segs, k4, k6, k8),
                                    bias=bias_b)
             except ValueError:
                 pass  # exponent span too wide: fall back to split-plane
+        else:
+            segs = None
+        if segs is None:
+            segs = quantize_mixed_host(wp, k4, k6, k8,
+                                       weight_fp4_only=weight_fp4_only)
         wq = MixedTensor(
             fp4=jnp.asarray(segs["fp4"]), fp6=jnp.asarray(segs["fp6"]),
             fp8=jnp.asarray(segs["fp8"]), sf4=jnp.asarray(segs["sf4"]),

@@ -158,44 +158,47 @@ def pack_scaled_w8_host(segs, k4: int, k6: int, k8: int) -> ScaledW8:
 
     ``segs`` is utils.native.quantize_mixed_host's output (numpy arrays,
     fp4 segment split-plane packed, all segments block-interleaved,
-    fp4-only grid).  The device pack (pack_scaled_w8) needs several device
-    dispatches + a sync per tensor — minutes per layer through the axon
-    tunnel at 8B scale; this path touches the device once, to upload the
-    finished (N, K) u8 codes.
+    fp4-only grid).  Pure small-integer arithmetic end to end — no float
+    materialization (the ml_dtypes element-wise conversion costs ~30 s per
+    8B-scale linear) and one device touch, uploading the (N, K) u8 codes.
+
+    Per element: fp4 code c = s|e4|m, block scale exponent eb = sf - 127.
+      e4 >= 1 (normal)            E = eb + e4 - 1, mantissa bit = m
+      e4 == 0, m == 1 (0.5)       E = eb - 1,      mantissa bit = 0
+      c & 7 == 0                  zero
+    with E stored biased (+127) to match the f32-bit path exactly.
     """
     import numpy as np
 
-    def seg_vals(packed, codes, sf, kseg):
+    def seg_fields(packed, codes, sf, kseg):
         if not kseg:
             return None
         if packed is not None:
             lo = packed & np.uint8(0xF)
             hi = (packed >> 4) & np.uint8(0xF)
             codes = np.concatenate([lo, hi], axis=-1)
-        import ml_dtypes
-        vals = codes.view(ml_dtypes.float4_e2m1fn).astype(np.float32) \
-            if codes.dtype == np.uint8 else codes.astype(np.float32)
-        # exact po2 via bit construction; ** with int exponents promotes
-        # to f64, which would silently double the later uint32 bit view
-        # f32 bits of 2^(sf-127) are sf<<23 (sf >= 1 by quantizer clip)
-        scale = (sf.astype(np.int32) << 23).astype(np.uint32) \
-            .view(np.float32)
-        return vals * np.tile(scale, (1, kseg // sf.shape[-1]))
+        c = codes.astype(np.int16)
+        sign = (c >> 3) & 1
+        e4 = (c >> 1) & 3
+        m = c & 1
+        nonzero = (c & 7) != 0
+        eb = np.tile((sf.astype(np.int16) - 127),
+                     (1, kseg // sf.shape[-1]))
+        expf = np.where(e4 >= 1, eb + e4 - 1, eb - 1) + 127  # biased
+        mant = np.where(e4 >= 1, m, 0)
+        return sign, expf, mant, nonzero
 
     parts = [
-        seg_vals(segs["fp4"] if k4 else None, None, segs["sf4"], k4),
-        seg_vals(None, segs["fp6"], segs["sf6"], k6),
-        seg_vals(None, segs["fp8"], segs["sf8"], k8),
+        seg_fields(segs["fp4"] if k4 else None, None, segs["sf4"], k4),
+        seg_fields(None, segs["fp6"], segs["sf6"], k6),
+        seg_fields(None, segs["fp8"], segs["sf8"], k8),
     ]
-    vals = np.concatenate([p for p in parts if p is not None], axis=-1)
-    bits = vals.view(np.uint32)
-    expf = ((bits >> 23) & 0xFF).astype(np.int32)
-    mant = ((bits >> 22) & 1).astype(np.int32)
-    sign = (bits >> 31).astype(np.int32)
-    nonzero = vals != 0.0
+    parts = [p for p in parts if p is not None]
+    sign, expf, mant, nonzero = (
+        np.concatenate([p[i] for p in parts], axis=-1) for i in range(4))
     if nonzero.any():
-        emin = int(expf[nonzero].min())
-        emax = int(expf[nonzero].max())
+        live = expf[nonzero]
+        emin, emax = int(live.min()), int(live.max())
         base = emin - 127
         if emax - emin > 62:
             raise ValueError(
@@ -204,7 +207,7 @@ def pack_scaled_w8_host(segs, k4: int, k6: int, k8: int) -> ScaledW8:
             raise ValueError(f"scaled-weight base exponent {base} > 1")
     else:
         base = 0
-    e6 = np.clip(expf - 127 - base + 1, 1, 63)
+    e6 = np.clip(expf - 127 - base + 1, 1, 63).astype(np.int16)
     code = np.where(nonzero, (sign << 7) | (e6 << 1) | mant, 0
                     ).astype(np.uint8)
     return ScaledW8(codes=jnp.asarray(code),

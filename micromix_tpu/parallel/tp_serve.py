@@ -160,22 +160,26 @@ def tp_prefill(params: Params, cfg_l: ModelConfig, caches, tokens,
 def tp_decode_step(params: Params, cfg_l: ModelConfig, caches, tokens,
                    seq_ids, positions):
     """shard_map body: one decode step over all slots, local KV heads."""
+    from ..models.common import rope_inv_freq
     b = tokens.shape[0]
     h = jnp.take(params["embed"], tokens, axis=0)[:, None, :].astype(
         jnp.bfloat16)
     cos = jnp.cos(_rope_angles(positions, cfg_l))
     sin = jnp.sin(_rope_angles(positions, cfg_l))
+    inv = rope_inv_freq(cfg_l.head_dim, cfg_l.rope_theta, cfg_l.rope_scaling)
     new_caches = []
     cache_it = iter(caches)
 
     def attn_fn(q, k, v):
-        qr = _rope1(q[:, 0], cos, sin)[:, None]
+        # q rope fused into the decode kernel; k rotated before append
         kr = _rope1(k[:, 0], cos, sin)[:, None]
         cache = append_kv(next(cache_it), seq_ids, positions,
                           kr[:, 0], v[:, 0])
         new_caches.append(cache)
-        out = paged_decode_attention(qr[:, 0], cache, seq_ids,
-                                     sliding_window=cfg_l.sliding_window)
+        out = paged_decode_attention(q[:, 0], cache, seq_ids,
+                                     sliding_window=cfg_l.sliding_window,
+                                     rope_positions=positions,
+                                     rope_inv_freq=inv)
         return out.reshape(b, 1, -1), kr, v
 
     for p in params["layers"]:

@@ -83,13 +83,14 @@ def _dequant_head(codes, sz, bits):
 
 
 def _decode_kernel(
-    page_tbl, lengths,           # scalar prefetch (SMEM)
+    page_tbl, lengths, positions,  # scalar prefetch (SMEM)
     q_ref,                       # (1, Hkv, G, D) VMEM
+    inv_ref,                     # (1, D) rope inv-freq (halves duplicated)
     kc, vc, ksz, vsz,            # full cache arrays (ANY/HBM)
     out_ref,                     # (1, Hkv, G, D) VMEM
     kbuf, vbuf, kszb, vszb, sem,  # scratch (double-buffered)
     *, bits: int, page_size: int, hkv: int, g: int, d: int,
-    window: Optional[int],
+    window: Optional[int], fused_rope: bool,
 ):
     b = pl.program_id(0)
     n = lengths[b]
@@ -98,7 +99,21 @@ def _decode_kernel(
     p0 = (jnp.maximum(n - window, 0) // page_size
           if window is not None else jnp.int32(0))
     scale = 1.0 / (d ** 0.5)
-    q = q_ref[0].astype(jnp.float32) * scale        # (Hkv, G, D)
+    q = q_ref[0].astype(jnp.float32)                # (Hkv, G, D)
+    if fused_rope:
+        # q-side RoPE fused into the kernel (decode.cuh:40-104 parity);
+        # the cache holds post-RoPE K, so only q needs rotating.  The
+        # half-rotation [-x2, x1] is a full-width lane roll times a sign
+        # vector — Mosaic rejects sub-128 lane slices, so no concat of
+        # (D/2) halves here.
+        angles = positions[b].astype(jnp.float32) * inv_ref[0]   # (D,)
+        cos = jnp.cos(angles)[None, None, :]
+        sin = jnp.sin(angles)[None, None, :]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 1, d), 2)
+        sign = jnp.where(lane < d // 2, -1.0, 1.0)
+        rot = pltpu.roll(q, shift=d // 2, axis=2) * sign
+        q = q * cos + rot * sin
+    q = q * scale
 
     def dma(slot, p_idx):
         pid = page_tbl[b, p_idx]
@@ -171,8 +186,15 @@ def _decode_kernel(
 def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
                            seq_ids: jnp.ndarray, *,
                            sliding_window: Optional[int] = None,
+                           rope_positions: Optional[jnp.ndarray] = None,
+                           rope_inv_freq: Optional[jnp.ndarray] = None,
                            interpret: Optional[bool] = None) -> jnp.ndarray:
-    """Pallas path.  q (B, H, D) -> (B, H, D)."""
+    """Pallas path.  q (B, H, D) -> (B, H, D).
+
+    With ``rope_positions`` (B,) + ``rope_inv_freq`` (D//2,), q arrives
+    UNrotated and the kernel applies RoPE itself (fused, matching the
+    reference decode kernel's rotary mode, decode.cuh:40-104).
+    """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     b, h, d = q.shape
@@ -185,6 +207,14 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
             "on TPU (tokens are the lane axis of page arrays); use "
             "page_size=128 or run in interpreter mode")
     dq = cache.k_codes.shape[2]
+    fused_rope = rope_positions is not None
+    if fused_rope:
+        inv_full = jnp.concatenate([rope_inv_freq, rope_inv_freq]
+                                   )[None, :].astype(jnp.float32)
+        positions = rope_positions.astype(jnp.int32)
+    else:
+        inv_full = jnp.zeros((1, d), jnp.float32)
+        positions = jnp.zeros((b,), jnp.int32)
 
     qg = q.reshape(b, hkv, g, d)
     table = cache.page_table[seq_ids]
@@ -192,14 +222,15 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
 
     kernel = functools.partial(
         _decode_kernel, bits=cache.bits, page_size=ps, hkv=hkv, g=g, d=d,
-        window=sliding_window)
+        window=sliding_window, fused_rope=fused_rope)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b,),
         in_specs=[
             pl.BlockSpec((1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
         out_specs=pl.BlockSpec((1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -217,6 +248,6 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.bfloat16),
         interpret=interpret,
-    )(table, lengths, qg, cache.k_codes, cache.v_codes,
-      cache.k_sz, cache.v_sz)
+    )(table, lengths, positions, qg, inv_full, cache.k_codes,
+      cache.v_codes, cache.k_sz, cache.v_sz)
     return out.reshape(b, h, d)

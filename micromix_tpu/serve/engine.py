@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from ..models.common import ModelConfig
 from .block_manager import BlockManager
 from .kv_cache import PagedKVCache, make_cache
-from .runner import decode_multi, decode_step, prefill
+from .runner import decode_multi, decode_step, prefill, prefill_batch
 from .sampling import SamplingParams, pick_sample_mode, sample_batch
 
 
@@ -135,6 +135,15 @@ class Engine:
                 dataclasses.replace(c, lengths=c.lengths.at[slot].set(n))
                 for c in cs
             ])
+        self._set_len_many = jax.jit(
+            lambda cs, slots, ns: [
+                dataclasses.replace(c, lengths=c.lengths.at[slots].set(ns))
+                for c in cs
+            ])
+        # multi-slot fresh prefill: one dispatch for all waiting prompts
+        # that fit one bucket (single-chip runner only)
+        self._can_batch_prefill = step_fns is None
+        self._prefill_batch_cache: Dict[int, Any] = {}
         self._clear_slot = jax.jit(
             lambda cs, slot: [
                 dataclasses.replace(
@@ -243,6 +252,69 @@ class Engine:
                         p, cfg, c, t, sid, sp, li, hist_len=h))
         return self._prefill_cache[key]
 
+    def _prefill_batch_for(self, bucket: int):
+        if bucket not in self._prefill_batch_cache:
+            cfg = self.cfg
+            self._prefill_batch_cache[bucket] = jax.jit(
+                lambda p, c, t, sid, li: prefill_batch(p, cfg, c, t, sid,
+                                                       li))
+        return self._prefill_batch_cache[bucket]
+
+    def _prefill_batch_pass(self) -> set:
+        """Prefill every fresh single-bucket prompt in ONE dispatch.
+
+        Returns the slot ids handled.  Slots mid-chunked-prefill (pos > 0)
+        or with prompts longer than the chunk keep the per-slot path.
+        """
+        fresh = [i for i, s in enumerate(self.slots)
+                 if s.req is not None and s.pending and s.pos == 0
+                 and len(s.pending) <= self.prefill_chunk]
+        if len(fresh) < 2:
+            return set()
+        bucket = self._bucket(max(len(self.slots[i].pending)
+                                  for i in fresh))
+        ok = []
+        for i in fresh:
+            try:
+                self._ensure_pages(i, bucket)
+                ok.append(i)
+            except RuntimeError:
+                req = self.slots[i].req
+                self._release(i)
+                self.waiting.insert(0, req)
+        if len(ok) < 2:
+            return set()
+        b = self.max_seqs
+        toks = np.zeros((b, bucket), np.int32)
+        seqs = np.full((b,), self.max_seqs, np.int32)  # pad rows -> scratch
+        last = np.zeros((b,), np.int32)
+        for row, i in enumerate(ok):
+            chunk = self.slots[i].pending
+            toks[row, :len(chunk)] = chunk
+            seqs[row] = i
+            last[row] = len(chunk) - 1
+        logits, self.caches = self._prefill_batch_for(bucket)(
+            self.params, self.caches, jnp.asarray(toks), jnp.asarray(seqs),
+            jnp.asarray(last))
+        # one dispatch to fix all true lengths (bucket padding over-wrote)
+        lens = np.asarray([len(self.slots[i].pending) for i in ok], np.int32)
+        self.caches = self._set_len_many(
+            self.caches, jnp.asarray(ok, dtype=jnp.int32), jnp.asarray(lens))
+        # ok slots occupy the first len(ok) batch rows by construction
+        firsts = self._sample_rows(logits[:len(ok)],
+                                   [self.slots[i].req for i in ok])
+        now = time.time()
+        for row, i in enumerate(ok):
+            slot = self.slots[i]
+            n = len(slot.pending)
+            slot.pos = n
+            slot.pending = []
+            self.prefill_tokens += n
+            self.ttft.setdefault(slot.req.req_id,
+                                 now - self._t_submit[slot.req.req_id])
+            self._emit(i, int(firsts[row]))
+        return set(ok)
+
     def _prefill_step(self, slot_id: int) -> bool:
         """Run ONE prefill chunk for a pending slot.  False on page stall."""
         slot = self.slots[slot_id]
@@ -319,9 +391,13 @@ class Engine:
     def step(self) -> bool:
         """Admit, drive pending prefill chunks, one decode chunk."""
         self._admit()
-        # one prefill chunk per pending slot per step: decode of running
-        # sequences is never starved for more than one chunk's latency
+        handled = (self._prefill_batch_pass()
+                   if self._can_batch_prefill else set())
+        # one prefill chunk per remaining pending slot per step: decode of
+        # running sequences is never starved more than one chunk's latency
         for i, s in enumerate(self.slots):
+            if i in handled:
+                continue
             if s.req is not None and s.pending:
                 if not self._prefill_step(i):
                     break  # page stall; retry next step

@@ -133,24 +133,75 @@ def prefill(params: Params, cfg: ModelConfig, caches: Caches,
     return logits, new_caches
 
 
+def prefill_batch(params: Params, cfg: ModelConfig, caches: Caches,
+                  tokens: jnp.ndarray, seq_ids: jnp.ndarray,
+                  last_idx: jnp.ndarray) -> Tuple[jnp.ndarray, Caches]:
+    """Multi-slot FRESH prefill: tokens (B, S) -> (logits (B, V), caches).
+
+    One dispatch prefills B waiting slots at once (VERDICT r1 item 7 —
+    TTFT under concurrent arrivals was linear in queue depth with b==1
+    prefill).  All rows start at position 0 (fresh prompts), so the RoPE
+    tables and causal mask are shared; per-row true lengths are selected
+    by ``last_idx``.  Padding rows use the engine's scratch seq id — their
+    K/V land in the scratch page and their logits are discarded.
+    """
+    b, s = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    positions = jnp.arange(s)
+    cos, sin = rope_table(positions, cfg.head_dim, cfg.rope_theta,
+                          cfg.rope_scaling)
+    mask = causal_mask(s, s, cfg.sliding_window)
+    seq_flat = jnp.repeat(seq_ids, s)
+    pos_flat = jnp.tile(positions, b)
+    new_caches = []
+    for p, cache in zip(params["layers"], caches):
+        q, k, v = _qkv(h, p, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = append_kv(cache, seq_flat, pos_flat,
+                          k.reshape(b * s, cfg.num_kv_heads, cfg.head_dim),
+                          v.reshape(b * s, cfg.num_kv_heads, cfg.head_dim))
+        new_caches.append(cache)
+        if jax.default_backend() != "cpu":
+            from ..kernels.flash_attention import flash_attention
+            out = flash_attention(q, k, v,
+                                  sliding_window=cfg.sliding_window)
+        else:
+            out = attention(q, k, v, mask)
+        out = out.reshape(b, s, -1)
+        h = h + _o_proj(out, p)
+        h = h + _mlp(h, p, cfg)
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+    h_last = rmsnorm(h_last, params["final_ln"], cfg.rms_eps)
+    logits = jnp.dot(h_last, params["lm_head"].T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return logits, new_caches
+
+
 def decode_step(params: Params, cfg: ModelConfig, caches: Caches,
                 tokens: jnp.ndarray, seq_ids: jnp.ndarray,
                 positions: jnp.ndarray) -> Tuple[jnp.ndarray, Caches]:
     """tokens (B,) -> (logits (B, V), updated caches).  One step, B slots."""
+    from ..models.common import rope_inv_freq
     b = tokens.shape[0]
     h = jnp.take(params["embed"], tokens, axis=0)[:, None, :].astype(
         jnp.bfloat16)
     cos = jnp.cos(_rope_angles(positions, cfg))
     sin = jnp.sin(_rope_angles(positions, cfg))
+    inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     new_caches = []
     for p, cache in zip(params["layers"], caches):
         q, k, v = _qkv(h, p, cfg)                       # (B,1,H,D)
-        q = _rope1(q[:, 0], cos, sin)[:, None]
+        # k is rotated here (the cache stores post-RoPE K); q's rotation is
+        # FUSED into the decode kernel (decode.cuh:40-104 parity) — and
+        # skips the bf16 round the unfused path paid between rope and dot
         k = _rope1(k[:, 0], cos, sin)[:, None]
         cache = append_kv(cache, seq_ids, positions, k[:, 0], v[:, 0])
         new_caches.append(cache)
         out = paged_decode_attention(q[:, 0], cache, seq_ids,
-                                     sliding_window=cfg.sliding_window)
+                                     sliding_window=cfg.sliding_window,
+                                     rope_positions=positions,
+                                     rope_inv_freq=inv)
         out = out.reshape(b, 1, cfg.num_heads * cfg.head_dim)
         h = h + _o_proj(out, p)
         h = h + _mlp(h, p, cfg)

@@ -50,6 +50,11 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mx_quantize_mixed.argtypes = [
             f32p, i64, i64, i64, i64, ctypes.c_int,
             u8p, u8p, u8p, u8p, u8p, u8p, ctypes.c_int]
+        if hasattr(lib, "mx_quantize_scaledw8"):
+            lib.mx_quantize_scaledw8.argtypes = [
+                f32p, i64, i64, i64, i64, u8p,
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int]
+            lib.mx_quantize_scaledw8.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -60,6 +65,31 @@ def native_available() -> bool:
 
 def _u8(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def quantize_scaledw8_host(x: np.ndarray, k4: int, k6: int, k8: int, *,
+                           n_threads: Optional[int] = None):
+    """Fused native quantize + ScaledW8 pack (w4-only weight grid).
+
+    Returns (codes (rows, K) u8, base int) or None when the native library
+    is unavailable or the layout does not fit (exponent span / base range)
+    — callers fall back to quantize_mixed_host + the Python pack.
+    """
+    lib = _load()
+    if lib is None or not hasattr(lib, "mx_quantize_scaledw8"):
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    rows, k = x.shape
+    assert k == k4 + k6 + k8
+    codes = np.empty((rows, k), np.uint8)
+    base = ctypes.c_int32(0)
+    rc = lib.mx_quantize_scaledw8(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        rows, k4, k6, k8, _u8(codes), ctypes.byref(base),
+        n_threads or (os.cpu_count() or 1))
+    if rc != 0:
+        return None
+    return codes, int(base.value)
 
 
 def quantize_mixed_host(x: np.ndarray, k4: int, k6: int, k8: int, *,

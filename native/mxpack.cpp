@@ -184,4 +184,96 @@ void mx_quantize_mixed(const float* x, int64_t rows, int64_t k4, int64_t k6,
   });
 }
 
+// Fused: quantize (rows, k4+k6+k8) f32 on the fp4 grid (w4-only weight
+// mode) and emit the ScaledW8 per-element layout (mx/scaledw8.py): one u8
+// code s|e6|m per element, segments block-interleaved, plus one per-tensor
+// base exponent.  Bit-identical to quantize_mixed_host + the Python pack.
+// Returns 0 on success; 1 when the scaled-exponent span exceeds the 6-bit
+// field or base > 1 (caller falls back to the split-plane layout).
+int mx_quantize_scaledw8(const float* x, int64_t rows, int64_t k4,
+                         int64_t k6, int64_t k8, uint8_t* codes,
+                         int32_t* base_out, int n_threads) {
+  const int64_t k = k4 + k6 + k8;
+  const Fmt& f4 = kFmts[0];
+  std::vector<uint8_t> tmp(size_t(rows) * k);      // fp4 codes, interleaved
+  std::vector<uint8_t> scales(size_t(rows) * (k / 32));
+  const int64_t seg_off[3] = {0, k4, k4 + k6};
+  const int64_t seg_k[3] = {k4, k6, k8};
+  const int64_t sf_off[3] = {0, k4 / 32, (k4 + k6) / 32};
+
+  const int nt = int(std::max<int64_t>(
+      1, std::min<int64_t>(n_threads, rows)));
+  std::vector<int> emins(nt, 1 << 20), emaxs(nt, -(1 << 20));
+  std::vector<std::thread> ts;
+  const int64_t chunk = (rows + nt - 1) / nt;
+  for (int t = 0; t < nt; ++t) {
+    const int64_t r0 = t * chunk, r1 = std::min(rows, r0 + chunk);
+    if (r0 >= r1) break;
+    ts.emplace_back([&, t, r0, r1] {
+      int emin = 1 << 20, emax = -(1 << 20);
+      for (int64_t r = r0; r < r1; ++r) {
+        for (int s = 0; s < 3; ++s) {
+          if (!seg_k[s]) continue;
+          quantize_rows(x + r * k + seg_off[s], 0, 1, seg_k[s], f4,
+                        tmp.data() + r * k + seg_off[s],
+                        scales.data() + r * (k / 32) + sf_off[s]);
+          const uint8_t* cr = tmp.data() + r * k + seg_off[s];
+          const uint8_t* sr = scales.data() + r * (k / 32) + sf_off[s];
+          const int64_t nb = seg_k[s] / 32;
+          for (int64_t j = 0; j < seg_k[s]; ++j) {
+            const uint8_t c = cr[j];
+            if (!(c & 7)) continue;  // zero
+            const int eb = int(sr[j % nb]) - 127;  // interleaved layout
+            const int e4 = (c >> 1) & 3;
+            const int E = e4 >= 1 ? eb + e4 - 1 : eb - 1;
+            emin = std::min(emin, E);
+            emax = std::max(emax, E);
+          }
+        }
+      }
+      emins[t] = emin;
+      emaxs[t] = emax;
+    });
+  }
+  for (auto& th : ts) th.join();
+  int emin = 1 << 20, emax = -(1 << 20);
+  for (int t = 0; t < nt; ++t) {
+    emin = std::min(emin, emins[t]);
+    emax = std::max(emax, emaxs[t]);
+  }
+  int base = 0;
+  if (emin <= emax) {  // any nonzero element
+    if (emax - emin > 62) return 1;
+    base = emin;
+    if (base > 1) return 1;
+  }
+  *base_out = base;
+  run_threads(rows, n_threads, [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+      uint8_t* orow = codes + r * k;
+      for (int s = 0; s < 3; ++s) {
+        if (!seg_k[s]) continue;
+        const uint8_t* cr = tmp.data() + r * k + seg_off[s];
+        const uint8_t* sr = scales.data() + r * (k / 32) + sf_off[s];
+        const int64_t nb = seg_k[s] / 32;
+        uint8_t* orow_s = orow + seg_off[s];
+        for (int64_t j = 0; j < seg_k[s]; ++j) {
+          const uint8_t c = cr[j];
+          if (!(c & 7)) {
+            orow_s[j] = 0;
+            continue;
+          }
+          const int eb = int(sr[j % nb]) - 127;
+          const int e4 = (c >> 1) & 3;
+          const int E = e4 >= 1 ? eb + e4 - 1 : eb - 1;
+          const int m = e4 >= 1 ? (c & 1) : 0;
+          const int sign = (c >> 3) & 1;
+          orow_s[j] = uint8_t((sign << 7) | ((E - base + 1) << 1) | m);
+        }
+      }
+    }
+  });
+  return 0;
+}
+
 }  // extern "C"

@@ -304,3 +304,43 @@ def test_sample_batch_modes(rng):
         "full"
     assert pick_sample_mode(
         [SamplingParams(temperature=1.0, top_k=4096)]) == "full"
+
+
+def test_batched_multi_slot_prefill(rng):
+    """Several waiting fresh prompts prefill in one dispatch and produce
+    the same outputs as sequential engines (greedy determinism)."""
+    from micromix_tpu.models import default_calibration, quantize_model
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=32, rope_theta=10000.0,
+                      rms_eps=1e-6)
+    params = quantize_model(
+        random_dense_params(cfg, seed=40), cfg,
+        default_calibration(cfg, p6=0, p8=0, seed=40))
+    prompts = [list(rng.integers(0, 64, 5 + i)) for i in range(3)]
+
+    eng = Engine(params, cfg, max_seqs=4, page_size=16, max_pages_per_seq=4,
+                 prefill_buckets=(16,), decode_chunk=2)
+    assert eng._can_batch_prefill
+    reqs = [Request(req_id=i, prompt=list(p), max_new_tokens=4)
+            for i, p in enumerate(prompts)]
+    for r in reqs:
+        eng.submit(r)
+    # first step admits all three and must batch them into one prefill
+    eng.step()
+    assert eng._prefill_batch_cache, "batched prefill program not built"
+    assert all(not s.pending for s in eng.slots if s.req is not None)
+    while eng.step():
+        pass
+    batched_out = [r.output for r in reqs]
+    assert all(len(o) == 4 for o in batched_out)
+
+    # reference: one-at-a-time engines (no batching possible)
+    for i, p in enumerate(prompts):
+        e1 = Engine(params, cfg, max_seqs=4, page_size=16,
+                    max_pages_per_seq=4, prefill_buckets=(16,),
+                    decode_chunk=2)
+        r = Request(req_id=0, prompt=list(p), max_new_tokens=4)
+        e1.run([r])
+        assert r.output == batched_out[i], f"prompt {i} diverged"

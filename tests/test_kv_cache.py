@@ -136,3 +136,33 @@ def test_dense_bf16_cache_mode(rng):
     np.testing.assert_allclose(
         np.asarray(kd[:10], np.float32),
         np.asarray(jnp.asarray(k0[:10]).astype(jnp.bfloat16), np.float32))
+
+
+def test_pallas_decode_attention_fused_rope(rng):
+    """q-side RoPE fused in-kernel == rotating q outside then attending
+    (up to the bf16 round the outside path pays between rope and dot)."""
+    from micromix_tpu.models.common import rope_inv_freq
+    from micromix_tpu.serve.runner import _rope1, _rope_angles
+    from micromix_tpu.models.common import ModelConfig
+
+    cache, _ = _build_cache(rng, bits=4)
+    b, h, d = 3, 8, cache.head_dim
+    cfg = ModelConfig(arch="llama", vocab_size=8, hidden_size=8,
+                      intermediate_size=8, num_layers=1, num_heads=h,
+                      num_kv_heads=cache.n_kv_heads, head_dim=d,
+                      rope_theta=10000.0)
+    positions = jnp.asarray([3, 7, 11], jnp.int32)
+    inv = rope_inv_freq(d, cfg.rope_theta, None)
+    q = jnp.asarray(rng.normal(0, 1, (b, h, d)), jnp.bfloat16)
+
+    fused = paged_decode_attention(q, cache, jnp.arange(b),
+                                   rope_positions=positions,
+                                   rope_inv_freq=inv, interpret=True)
+    cos = jnp.cos(_rope_angles(positions, cfg))
+    sin = jnp.sin(_rope_angles(positions, cfg))
+    qr = _rope1(q, cos, sin)
+    unfused = paged_decode_attention(qr, cache, jnp.arange(b),
+                                     interpret=True)
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(unfused, np.float32),
+                               rtol=3e-2, atol=3e-2)

@@ -142,3 +142,25 @@ def test_host_pack_matches_device_pack(rng):
                                   np.asarray(dev.codes))
     np.testing.assert_array_equal(np.asarray(host.base),
                                   np.asarray(dev.base))
+
+
+def test_native_fused_scaledw8_matches_python(rng):
+    """mx_quantize_scaledw8 (C++) == quantize_mixed_host + numpy pack ==
+    device pack, bit for bit."""
+    from micromix_tpu.utils.native import (
+        native_available, quantize_scaledw8_host)
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+    w = rng.normal(0, 0.3, (N, K)).astype(np.float32)
+    got = quantize_scaledw8_host(w, K4, K6, K8)
+    assert got is not None
+    codes, base = got
+    wq = quantize_mixed(jnp.asarray(w), K4, K6, K8, weight_fp4_only=True,
+                        pack_fp4=True)
+    dev = pack_scaled_w8(wq)
+    np.testing.assert_array_equal(codes, np.asarray(dev.codes))
+    assert base == int(np.asarray(dev.base).reshape(()))
+    # zero tensor: all codes 0, base 0
+    z = quantize_scaledw8_host(np.zeros((8, K), np.float32), K4, K6, K8)
+    assert z is not None and (z[0] == 0).all() and z[1] == 0
