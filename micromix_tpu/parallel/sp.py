@@ -12,10 +12,20 @@ mesh's "seq" axis:
     offset by the shard's global position — one all-gather per layer, no
     score-matrix resharding
 
-This is the gather-KV variant of context parallelism (ring attention is a
-latency refinement, not a capability change).  Works for dense and
-quantized parameter pytrees; the Pallas kernels run unchanged inside
-shard_map on local shards.
+Two attention variants:
+
+  * gather-KV (default): one all-gather of K/V over "seq" per layer, then
+    local-Q x global-KV with an offset causal mask — simplest, memory
+    O(S_global) per device for one layer's K/V.
+  * RING attention (``ring=True``): K/V shards rotate around the ring via
+    ``lax.ppermute`` while each device folds incoming blocks into a flash
+    online-softmax state — peak K/V memory O(S/sp) and the permute of
+    step i+1 overlaps the block math of step i (XLA async collectives).
+    Fully-masked blocks (future shards under causality) are skipped
+    arithmetically via the mask, costing only their ring hop.
+
+Works for dense and quantized parameter pytrees; the Pallas kernels run
+unchanged inside shard_map on local shards.
 """
 
 from __future__ import annotations
@@ -33,8 +43,58 @@ from ..models.transformer import Params, mlp_block, moe_block
 from ..models.transformer import attention_block as _attn_block_full
 
 
-def _sp_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask):
-    """One decoder layer on a local S-shard; K/V gathered over "seq"."""
+def _ring_attention(q, k, v, *, offset, sp: int,
+                    window) -> jnp.ndarray:
+    """Blockwise ring attention.  q/k/v (B, s_loc, H|Hkv, D) local shards.
+
+    Device d starts holding K/V shard d; at ring step i it processes shard
+    (d - i) mod sp and forwards its block to d+1.  Each block folds into
+    the flash max/denominator recurrence, so the result equals causal
+    attention over the full sequence up to f32 recurrence rounding.
+    """
+    b, s_loc, h, d = q.shape
+    hkv = k.shape[2]
+    rep = h // hkv
+    my = jax.lax.axis_index("seq")
+    fwd = [(j, (j + 1) % sp) for j in range(sp)]
+    scale = 1.0 / (d ** 0.5)
+    qf = q.astype(jnp.float32) * scale
+
+    m = jnp.full((b, h, s_loc), -1e30, jnp.float32)
+    den = jnp.zeros((b, h, s_loc), jnp.float32)
+    acc = jnp.zeros((b, h, s_loc, d), jnp.float32)
+    k_blk, v_blk = k, v
+    qi = offset + jnp.arange(s_loc)[:, None]
+    for i in range(sp):
+        src = (my - i) % sp
+        kr = k_blk.astype(jnp.float32)
+        vr = v_blk.astype(jnp.float32)
+        if rep > 1:
+            kr = jnp.repeat(kr, rep, axis=2)
+            vr = jnp.repeat(vr, rep, axis=2)
+        s = jnp.einsum("bqhd,bkhd->bhqk", qf, kr)
+        kj = src * s_loc + jnp.arange(s_loc)[None, :]
+        allow = kj <= qi
+        if window is not None:
+            allow = jnp.logical_and(allow, kj > qi - window)
+        s = jnp.where(allow[None, None], s, -1e30)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1))
+        corr = jnp.exp(m - m_new)
+        e = jnp.exp(s - m_new[..., None])
+        den = den * corr + jnp.sum(e, axis=-1)
+        pv = jnp.einsum("bhqk,bkhd->bhqd", e, vr)
+        acc = acc * corr[..., None] + pv
+        m = m_new
+        if i + 1 < sp:  # overlap: next hop issues while this block computes
+            k_blk = jax.lax.ppermute(k_blk, "seq", fwd)
+            v_blk = jax.lax.ppermute(v_blk, "seq", fwd)
+    out = acc / jnp.maximum(den, 1e-30)[..., None]
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)   # (B, s_loc, H, D)
+
+
+def _sp_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask, *,
+                      ring: bool = False, sp: int = 1, offset=None):
+    """One decoder layer on a local S-shard; K/V gathered or ring-passed."""
     from ..models.transformer import _is_quant  # local import to avoid cycle
     from ..models.common import apply_rope, project_all
 
@@ -47,10 +107,15 @@ def _sp_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask):
     v = v.reshape(b, s_loc, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    # gather K/V to full sequence; Q stays local
-    k_full = jax.lax.all_gather(k, "seq", axis=1, tiled=True)
-    v_full = jax.lax.all_gather(v, "seq", axis=1, tiled=True)
-    out = attention(q, k_full, v_full, mask).reshape(b, s_loc, nh * hd)
+    if ring:
+        out = _ring_attention(q, k, v, offset=offset, sp=sp,
+                              window=cfg.sliding_window)
+        out = out.reshape(b, s_loc, nh * hd)
+    else:
+        # gather K/V to full sequence; Q stays local
+        k_full = jax.lax.all_gather(k, "seq", axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v, "seq", axis=1, tiled=True)
+        out = attention(q, k_full, v_full, mask).reshape(b, s_loc, nh * hd)
     (o,) = project_all(out, p.get("o_site"), [p["o"]])
     h = h + o
     if cfg.is_moe:
@@ -61,7 +126,8 @@ def _sp_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask):
 
 
 def sp_forward_local(params: Params, tokens_local: jnp.ndarray, *,
-                     cfg: ModelConfig, s_global: int) -> jnp.ndarray:
+                     cfg: ModelConfig, s_global: int,
+                     ring: bool = False, sp: int = 1) -> jnp.ndarray:
     """Body run per device inside shard_map.  tokens_local (B, S/sp)."""
     b, s_loc = tokens_local.shape
     idx = jax.lax.axis_index("seq")
@@ -73,21 +139,28 @@ def sp_forward_local(params: Params, tokens_local: jnp.ndarray, *,
     # local-Q rows attend over the full gathered K/V with global offsets
     mask = causal_mask(s_loc, s_global, cfg.sliding_window, offset=offset)
     for p in params["layers"]:
-        h = _sp_decoder_layer(h, p, cfg, cos, sin, mask)
+        h = _sp_decoder_layer(h, p, cfg, cos, sin, mask, ring=ring, sp=sp,
+                              offset=offset)
     h = rmsnorm(h, params["final_ln"], cfg.rms_eps)
     return jnp.dot(h, params["lm_head"].T.astype(jnp.bfloat16),
                    preferred_element_type=jnp.float32)
 
 
 def sequence_parallel_forward(params: Params, cfg: ModelConfig,
-                              tokens: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
-    """tokens (B, S) with S % mesh["seq"] == 0 -> logits (B, S, V)."""
+                              tokens: jnp.ndarray, mesh: Mesh, *,
+                              ring: bool = False) -> jnp.ndarray:
+    """tokens (B, S) with S % mesh["seq"] == 0 -> logits (B, S, V).
+
+    ring=True uses ring attention (O(S/sp) peak K/V memory per device,
+    ppermute pipeline) instead of the all-gather variant.
+    """
     sp = mesh.shape["seq"]
     b, s = tokens.shape
     assert s % sp == 0, (s, sp)
 
     fn = jax.shard_map(
-        functools.partial(sp_forward_local, cfg=cfg, s_global=s),
+        functools.partial(sp_forward_local, cfg=cfg, s_global=s, ring=ring,
+                          sp=sp),
         mesh=mesh,
         in_specs=(P(), P(None, "seq")),
         out_specs=P(None, "seq", None),
