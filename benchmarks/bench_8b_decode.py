@@ -28,7 +28,7 @@ from timing import common_parser, emit  # noqa: E402
 
 
 def build_quantized(cfg, p6: int, p8: int, seed: int = 0,
-                    share_layers: bool = False):
+                    share_layers: bool = False, int8_turbo: bool = False):
     """Stream-build the quantized pytree: per-layer host quantization.
 
     share_layers=True quantizes ONE layer and aliases it across the stack —
@@ -70,7 +70,13 @@ def build_quantized(cfg, p6: int, p8: int, seed: int = 0,
             "gate": lin(inter, hid), "up": lin(inter, hid),
             "down": lin(hid, inter),
         }
-        layers.append(quantize_layer(p, cfg, layer_calib, host=True))
+        if int8_turbo:
+            from micromix_tpu.models.surgery import quantize_model_int8_turbo
+            shell = {"embed": jnp.zeros((1, 1)), "final_ln": jnp.zeros((1,)),
+                     "lm_head": jnp.zeros((1, 1)), "layers": [p]}
+            layers.append(quantize_model_int8_turbo(shell, cfg)["layers"][0])
+        else:
+            layers.append(quantize_layer(p, cfg, layer_calib, host=True))
         print(f"\rquantized layer {i + 1}/{n_build} "
               f"({time.perf_counter() - t0:.1f}s)", end="", flush=True,
               file=sys.stderr)
@@ -96,6 +102,8 @@ def main(argv=None) -> None:
     p.add_argument("--share-layers", action="store_true",
                    help="alias one quantized layer across the stack "
                         "(same per-step HBM traffic, ~30x faster build)")
+    p.add_argument("--int8-turbo", action="store_true",
+                   help="W8A8 int8 turbo extension instead of MX mixed")
     args = p.parse_args(argv)
 
     from micromix_tpu.models import ModelConfig
@@ -115,7 +123,8 @@ def main(argv=None) -> None:
                           rope_theta=5e5, rms_eps=1e-5)
         p6 = p8 = 256
 
-    params = build_quantized(cfg, p6, p8, share_layers=args.share_layers)
+    params = build_quantized(cfg, p6, p8, share_layers=args.share_layers,
+                             int8_turbo=args.int8_turbo)
     eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
                  max_pages_per_seq=16, prefill_buckets=(16, 32),
                  decode_chunk=args.decode_chunk)
@@ -148,8 +157,9 @@ def main(argv=None) -> None:
         int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
     ttfts = sorted(eng.ttft.values())
     ttft_p50 = ttfts[len(ttfts) // 2] if ttfts else float("nan")
+    tag = " int8-turbo" if args.int8_turbo else ""
     emit(f"8B-shape decode tokens/s/chip B={args.batch} "
-         f"L={cfg.num_layers} H={cfg.hidden_size}",
+         f"L={cfg.num_layers} H={cfg.hidden_size}{tag}",
          eng.decode_tokens / dt, "tokens/s",
          decode_tokens=eng.decode_tokens, decode_s=round(dt, 3),
          prefill_s=round(prefill_s, 3),

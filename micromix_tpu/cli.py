@@ -69,7 +69,10 @@ def cmd_quantize(args) -> None:
     from .models.checkpoint import save_params
 
     cfg, params = _load_model(args)
-    if args.weight_only:
+    if getattr(args, "int8_turbo", False):
+        from .models.surgery import quantize_model_int8_turbo
+        params = quantize_model_int8_turbo(params, cfg)
+    elif args.weight_only:
         from .models.surgery import quantize_model_weight_only
         params = quantize_model_weight_only(params, cfg, args.weight_only)
     else:
@@ -206,6 +209,9 @@ def main(argv=None) -> None:
     q.add_argument("--no-smooth", dest="smooth", action="store_false")
     q.add_argument("--alpha", type=float, default=0.5)
     q.add_argument("--symmetric-weights", action="store_true")
+    q.add_argument("--int8-turbo", action="store_true",
+                   help="W8A8 int8 on the s8 MXU (out-of-spec speed mode, "
+                        "not MicroMix numerics)")
     q.add_argument("--weight-only", choices=("mxfp4", "mxfp6", "mxfp8"),
                    default=None)
     q.add_argument("--output", default="saved/quantized")

@@ -2,6 +2,7 @@
 
 from .common import (
     DenseLinear,
+    Int8TurboLinear,
     ModelConfig,
     QuantLinear,
     QuantSite,
@@ -19,6 +20,7 @@ from .surgery import (
     identity_calibration,
     quantize_linear,
     quantize_model,
+    quantize_model_int8_turbo,
     quantize_model_weight_only,
     random_dense_params,
 )
@@ -30,7 +32,8 @@ __all__ = [
     "quantize_int_group", "forward",
     "SiteCalibration", "LayerCalib", "identity_calibration",
     "default_calibration", "quantize_linear", "quantize_model",
-    "quantize_model_weight_only", "WeightOnlyLinear",
+    "quantize_model_weight_only", "quantize_model_int8_turbo",
+    "WeightOnlyLinear", "Int8TurboLinear",
     "random_dense_params",
     "ATTN_IN", "O_IN", "MLP_IN", "DOWN_IN",
     "save_params", "load_params",

@@ -28,8 +28,8 @@ import ml_dtypes
 
 from ..mx.mxtensor import MixedTensor
 from ..mx.scaledw8 import ScaledW8
-from .common import (DenseLinear, ModelConfig, QuantLinear,
-                     QuantSite, WeightOnlyLinear)
+from .common import (DenseLinear, Int8TurboLinear, ModelConfig,
+                     QuantLinear, QuantSite, WeightOnlyLinear)
 
 FORMAT_VERSION = 1
 
@@ -41,6 +41,7 @@ _NODE_TYPES = {
                     ("fp4_packed", "fp4_only")),
     "ScaledW8": (ScaledW8, ("codes", "base"), ("k4", "k6", "k8")),
     "QuantLinear": (QuantLinear, ("w", "bias"), ()),
+    "Int8TurboLinear": (Int8TurboLinear, ("w", "w_scale", "bias"), ()),
     "WeightOnlyLinear": (WeightOnlyLinear, ("w", "bias"), ()),
     "DenseLinear": (DenseLinear, ("w", "bias"), ()),
     "QuantSite": (QuantSite, ("perm",), ("k4", "k6", "k8")),

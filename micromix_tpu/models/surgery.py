@@ -295,6 +295,48 @@ def quantize_model_weight_only(params: Dict[str, Any], cfg: ModelConfig,
     }
 
 
+def quantize_model_int8_turbo(params: Dict[str, Any],
+                              cfg: ModelConfig) -> Dict[str, Any]:
+    """TURBO EXTENSION: every decoder linear -> W8A8 int8 (s8 MXU path).
+
+    Out-of-spec vs MicroMix (models/common.Int8TurboLinear docstring); no
+    calibration needed — weights are symmetric per-output-channel, the
+    activation scale is dynamic per row.  Apply calib/smooth.smooth_params
+    first for SmoothQuant-style W8A8 accuracy.
+    """
+    from .common import Int8TurboLinear
+
+    def conv(lin):
+        w = np.asarray(lin.w, np.float32)
+        s = np.maximum(np.abs(w).max(axis=1), 1e-12) / 127.0
+        q = np.clip(np.round(w / s[:, None]), -127, 127).astype(np.int8)
+        return Int8TurboLinear(
+            w=jnp.asarray(q), w_scale=jnp.asarray(s, jnp.float32),
+            bias=None if lin.bias is None else lin.bias.astype(jnp.bfloat16))
+
+    def layer(p):
+        out = {"ln1": p["ln1"], "ln2": p["ln2"]}
+        for name in ("q", "k", "v", "o"):
+            out[name] = conv(p[name])
+        if cfg.is_moe:
+            out["router"] = p["router"]
+            out["experts"] = [
+                {n: conv(ep[n]) for n in ("w1", "w3", "w2")}
+                for ep in p["experts"]
+            ]
+        else:
+            for name in ("gate", "up", "down"):
+                out[name] = conv(p[name])
+        return out
+
+    return {
+        "embed": params["embed"],
+        "final_ln": params["final_ln"],
+        "lm_head": params["lm_head"],
+        "layers": [layer(p) for p in params["layers"]],
+    }
+
+
 def default_calibration(cfg: ModelConfig, p6: int = 0, p8: int = 0,
                         seed: Optional[int] = None) -> List[LayerCalib]:
     """Identity (or seeded-random) calibration for tests and weight-only

@@ -157,6 +157,46 @@ def tp_prefill(params: Params, cfg_l: ModelConfig, caches, tokens,
     return _logits(params, cfg_l, h_last), new_caches
 
 
+def tp_prefill_batch(params: Params, cfg_l: ModelConfig, caches, tokens,
+                     seq_ids, last_idx):
+    """shard_map body: multi-slot FRESH prefill with local heads.
+
+    Mirror of serve/runner.prefill_batch — all rows start at position 0,
+    shared RoPE/mask; padding rows carry the scratch seq id.
+    """
+    b, s = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    positions = jnp.arange(s)
+    cos, sin = rope_table(positions, cfg_l.head_dim, cfg_l.rope_theta,
+                          cfg_l.rope_scaling)
+    mask = causal_mask(s, s, cfg_l.sliding_window)
+    seq_flat = jnp.repeat(seq_ids, s)
+    pos_flat = jnp.tile(positions, b)
+    new_caches = []
+    cache_it = iter(caches)
+
+    def attn_fn(q, k, v):
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        cache = append_kv(
+            next(cache_it), seq_flat, pos_flat,
+            k.reshape(b * s, cfg_l.num_kv_heads, cfg_l.head_dim),
+            v.reshape(b * s, cfg_l.num_kv_heads, cfg_l.head_dim))
+        new_caches.append(cache)
+        if jax.default_backend() != "cpu":
+            from ..kernels.flash_attention import flash_attention
+            out = flash_attention(q, k, v,
+                                  sliding_window=cfg_l.sliding_window)
+        else:
+            out = attention(q, k, v, mask)
+        return out.reshape(b, s, -1), k, v
+
+    for p in params["layers"]:
+        h = _tp_layer(h, p, cfg_l, attn_fn=attn_fn)
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
+    return _logits(params, cfg_l, h_last), new_caches
+
+
 def tp_decode_step(params: Params, cfg_l: ModelConfig, caches, tokens,
                    seq_ids, positions):
     """shard_map body: one decode step over all slots, local KV heads."""
@@ -239,7 +279,15 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
         return mk(lambda p, c, t, sid, sp, li, cfg_l, h=hist_len: tp_prefill(
             p, cfg_l, c, t, sid, sp, li, hist_len=h), 3)
 
-    return prefill_fn, decode_fn, decode_multi_fns, prefill_hist
+    prefill_batch_fn = mk(
+        lambda p, c, t, sid, li, cfg_l: tp_prefill_batch(
+            p, cfg_l, c, t, sid, li), 2)
+
+    from ..serve.engine import StepFns
+    return StepFns(prefill=prefill_fn, decode=decode_fn,
+                   decode_multi=decode_multi_fns,
+                   prefill_hist=prefill_hist,
+                   prefill_batch=prefill_batch_fn)
 
 
 def make_tp_engine(params_tp: Params, cfg: ModelConfig, mesh: Mesh,

@@ -41,6 +41,24 @@ class Request:
 
 
 @dataclasses.dataclass
+class StepFns:
+    """Custom (e.g. shard-mapped multi-chip) engine step programs.
+
+    decode_multi may be a dict keyed by sample mode ("simple"/"topk"/
+    "full").  prefill_hist is a ``hist_len -> jitted fn`` factory enabling
+    chunked prefill; prefill_batch enables multi-slot fresh prefill.
+    Absent optional members fall back to conservative behavior
+    (single-shot prefill, per-slot prefill).
+    """
+
+    prefill: Any
+    decode: Any
+    decode_multi: Any
+    prefill_hist: Optional[Any] = None
+    prefill_batch: Optional[Any] = None
+
+
+@dataclasses.dataclass
 class _Slot:
     req: Optional[Request] = None
     pos: int = 0
@@ -91,16 +109,17 @@ class Engine:
         self._prefill_cache: Dict[int, Any] = {}
         self._custom_decode_multi = None
         self._prefill_hist_factory = None
+        self._custom_prefill_batch = None
         if step_fns is not None:
-            # multi-chip serving: shard-mapped steps.  decode_multi may be a
-            # dict keyed by sample mode; the optional 4th element is a
-            # hist_len -> prefill-step factory enabling chunked prefill.
-            if len(step_fns) == 4:
-                (self._prefill, self._decode, self._custom_decode_multi,
-                 self._prefill_hist_factory) = step_fns
-            else:
-                (self._prefill, self._decode,
-                 self._custom_decode_multi) = step_fns
+            # multi-chip serving: shard-mapped steps (StepFns dataclass;
+            # bare 3/4-tuples accepted for backward compatibility)
+            if isinstance(step_fns, tuple):
+                step_fns = StepFns(*step_fns)
+            self._prefill = step_fns.prefill
+            self._decode = step_fns.decode
+            self._custom_decode_multi = step_fns.decode_multi
+            self._prefill_hist_factory = step_fns.prefill_hist
+            self._custom_prefill_batch = step_fns.prefill_batch
         self._chunked_ok = (step_fns is None
                             or self._prefill_hist_factory is not None)
         if not self._chunked_ok:
@@ -141,8 +160,9 @@ class Engine:
                 for c in cs
             ])
         # multi-slot fresh prefill: one dispatch for all waiting prompts
-        # that fit one bucket (single-chip runner only)
-        self._can_batch_prefill = step_fns is None
+        # that fit one bucket
+        self._can_batch_prefill = (step_fns is None
+                                   or self._custom_prefill_batch is not None)
         self._prefill_batch_cache: Dict[int, Any] = {}
         self._clear_slot = jax.jit(
             lambda cs, slot: [
@@ -254,10 +274,14 @@ class Engine:
 
     def _prefill_batch_for(self, bucket: int):
         if bucket not in self._prefill_batch_cache:
-            cfg = self.cfg
-            self._prefill_batch_cache[bucket] = jax.jit(
-                lambda p, c, t, sid, li: prefill_batch(p, cfg, c, t, sid,
-                                                       li))
+            if self._custom_prefill_batch is not None:
+                self._prefill_batch_cache[bucket] = \
+                    self._custom_prefill_batch
+            else:
+                cfg = self.cfg
+                self._prefill_batch_cache[bucket] = jax.jit(
+                    lambda p, c, t, sid, li: prefill_batch(p, cfg, c, t,
+                                                           sid, li))
         return self._prefill_batch_cache[bucket]
 
     def _prefill_batch_pass(self) -> set:

@@ -99,3 +99,39 @@ def test_tp_engine_kv_cache_is_sharded(rng):
     # cache updates preserved the sharding through the serving loop
     assert eng.caches[0].k_codes.sharding.is_equivalent_to(
         expected, eng.caches[0].k_codes.ndim)
+
+
+def test_tp_batched_prefill_matches_single_chip(rng):
+    """TP engines batch fresh multi-slot prefill through the shard-mapped
+    program and agree with the single-chip engine."""
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=14)
+    calibs = default_calibration(cfg, p6=0, p8=0)
+    prompts = [list(np.random.default_rng(8).integers(0, cfg.vocab_size,
+                                                      5 + i))
+               for i in range(3)]
+
+    def run(engine):
+        reqs = [Request(req_id=i, prompt=list(p), max_new_tokens=4)
+                for i, p in enumerate(prompts)]
+        for r in reqs:
+            engine.submit(r)
+        engine.step()
+        while engine.step():
+            pass
+        return [r.output for r in reqs]
+
+    eng1 = Engine(quantize_model(dense, cfg, calibs), cfg, max_seqs=4,
+                  page_size=16, max_pages_per_seq=8, prefill_buckets=(16,),
+                  decode_chunk=2)
+    out1 = run(eng1)
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    eng2 = make_tp_engine(quantize_model_tp(dense, cfg, calibs, 2), cfg,
+                          mesh, max_seqs=4, page_size=16,
+                          max_pages_per_seq=8, prefill_buckets=(16,),
+                          decode_chunk=2)
+    assert eng2._can_batch_prefill
+    out2 = run(eng2)
+    assert eng2._prefill_batch_cache, "TP batched prefill program unused"
+    assert out1 == out2
