@@ -17,3 +17,4 @@ __all__ = [
     "paged_decode_attention", "paged_decode_attention_xla",
     "sample", "Engine", "Request",
 ]
+from .router import Router  # noqa: E402,F401

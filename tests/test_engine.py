@@ -344,3 +344,34 @@ def test_batched_multi_slot_prefill(rng):
         r = Request(req_id=0, prompt=list(p), max_new_tokens=4)
         e1.run([r])
         assert r.output == batched_out[i], f"prompt {i} diverged"
+
+
+def test_router_spreads_and_matches_single_engine(rng):
+    """Least-loaded routing over replicas; greedy outputs identical to a
+    lone engine (replicas are independent, so per-request results are
+    placement-invariant)."""
+    from micromix_tpu.serve import Router
+
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=33)
+
+    def mk_engine():
+        return Engine(params, cfg, max_seqs=1, page_size=16,
+                      max_pages_per_seq=8, prefill_buckets=(16,),
+                      decode_chunk=2)
+
+    prompts = [list(rng.integers(0, cfg.vocab_size, 6 + i))
+               for i in range(4)]
+    router = Router([mk_engine(), mk_engine()])
+    reqs = [Request(req_id=i, prompt=list(p), max_new_tokens=4)
+            for i, p in enumerate(prompts)]
+    router.run(reqs)
+    assert all(r.done and len(r.output) == 4 for r in reqs)
+    # both replicas took work (4 requests, 1 slot each)
+    assert all(n > 0 for n in router.stats["assigned"])
+
+    for i, p in enumerate(prompts):
+        solo = mk_engine()
+        r = Request(req_id=0, prompt=list(p), max_new_tokens=4)
+        solo.run([r])
+        assert r.output == reqs[i].output, f"request {i} diverged"
