@@ -135,4 +135,55 @@ def load_params(path: str) -> Tuple[Any, Optional[ModelConfig],
     return params, cfg, manifest["meta"]
 
 
-__all__ = ["save_params", "load_params", "FORMAT_VERSION"]
+def save_params_async(path: str, params: Any,
+                      cfg: Optional[ModelConfig] = None,
+                      meta: Optional[Dict[str, Any]] = None):
+    """Async checkpoint save via orbax: returns the AsyncCheckpointer.
+
+    The array payload is handed to orbax's background thread (serving
+    continues while multi-GB packed weights hit disk); the small manifest
+    is written synchronously.  Call ``.wait_until_finished()`` (or rely on
+    interpreter exit) to join.  load_params_async restores; the manifest
+    format matches save_params, so the sync/async formats differ only in
+    the array container (orbax tree dir vs arrays.npz).
+    """
+    import orbax.checkpoint as ocp
+
+    os.makedirs(path, exist_ok=True)
+    arrays: Dict[str, np.ndarray] = {}
+    tree = _encode(params, arrays, "params")
+    manifest = {
+        "format_version": FORMAT_VERSION,
+        "array_container": "orbax",
+        "tree": tree,
+        "config": dataclasses.asdict(cfg) if cfg is not None else None,
+        "meta": meta or {},
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    ckptr = ocp.AsyncCheckpointer(ocp.PyTreeCheckpointHandler())
+    ckptr.save(os.path.join(os.path.abspath(path), "arrays_ocp"), arrays,
+               force=True)
+    return ckptr
+
+
+def load_params_async(path: str) -> Tuple[Any, Optional[ModelConfig],
+                                          Dict[str, Any]]:
+    """Restore a save_params_async checkpoint."""
+    import orbax.checkpoint as ocp
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        manifest = json.load(f)
+    if manifest["format_version"] != FORMAT_VERSION:
+        raise ValueError(
+            f"unsupported checkpoint version {manifest['format_version']}")
+    ckptr = ocp.Checkpointer(ocp.PyTreeCheckpointHandler())
+    arrays = ckptr.restore(os.path.join(os.path.abspath(path), "arrays_ocp"))
+    params = _decode(manifest["tree"], arrays)
+    cfg = (ModelConfig(**manifest["config"])
+           if manifest["config"] is not None else None)
+    return params, cfg, manifest["meta"]
+
+
+__all__ = ["save_params", "load_params", "save_params_async",
+           "load_params_async", "FORMAT_VERSION"]

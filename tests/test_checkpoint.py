@@ -1,6 +1,7 @@
 """Quantized-checkpoint round-trip tests (models/checkpoint.py)."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -53,3 +54,23 @@ def test_dense_roundtrip(tmp_path):
     loaded, cfg2, _ = load_params(str(tmp_path / "d"))
     assert cfg2 == cfg
     _trees_equal(params, loaded)
+
+
+def test_async_orbax_roundtrip(tmp_path, rng):
+    """save_params_async (orbax background write) round-trips the
+    quantized pytree bit-for-bit, including ScaledW8 leaves."""
+    pytest.importorskip("orbax.checkpoint")
+    from micromix_tpu.models import default_calibration, quantize_model
+    from micromix_tpu.models.checkpoint import (
+        load_params_async, save_params_async)
+
+    cfg = _cfg(num_layers=1)
+    params = quantize_model(random_dense_params(cfg, seed=90), cfg,
+                            default_calibration(cfg, p6=32, p8=32))
+    ck = save_params_async(str(tmp_path / "ck"), params, cfg)
+    ck.wait_until_finished()
+    loaded, cfg2, _ = load_params_async(str(tmp_path / "ck"))
+    assert cfg2 == cfg
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
