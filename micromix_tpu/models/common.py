@@ -358,17 +358,23 @@ def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
             xn = x
         qx = fakequant_site(xn, site).reshape(-1, x.shape[-1])
         return [lin(qx).reshape(*lead, -1) for lin in linears]
-    if norm_gamma is not None:
+    from ..mx.scaledw8 import ScaledW8
+    if all(isinstance(lin.w, ScaledW8) for lin in linears):
+        # fakequant-direct: ScaledW8 consumers eat the exact bf16 image of
+        # the quantized activation, so skip encoding codes entirely —
+        # identical values, ~half the per-site ops in the decode scan
+        from ..ops.quantize_ops import (
+            reorder_fakequant_x, rmsnorm_fakequant_x)
+        if norm_gamma is not None:
+            qx = rmsnorm_fakequant_x(x, norm_gamma, site.perm,
+                                     *site.splits, eps=rms_eps)
+        else:
+            qx = reorder_fakequant_x(x, site.perm, *site.splits)
+    elif norm_gamma is not None:
         qx = rmsnorm_quantize_x(x, norm_gamma, site.perm, *site.splits,
                                 eps=rms_eps)
     else:
         qx = reorder_quantize_x(x, site.perm, *site.splits)
-    from ..mx.scaledw8 import ScaledW8
-    if all(isinstance(lin.w, ScaledW8) for lin in linears):
-        # decode-once: ScaledW8 consumers eat the exact bf16 image of the
-        # quantized activation, so q/k/v (or gate/up) share one decode
-        from ..mx.mxtensor import dequantize_mixed_device
-        qx = dequantize_mixed_device(qx, jnp.bfloat16)
     outs = []
     for lin in linears:
         y = lin(qx)

@@ -92,16 +92,29 @@ def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
     if _is_quant(p["down"]):
         site = p["down_site"]
         from .hetero import FakeQuantSite, fakequant_site
+        from ..mx.scaledw8 import ScaledW8
         if isinstance(site, FakeQuantSite):
             act = (jax.nn.silu(gate.astype(jnp.float32))
                    * up.astype(jnp.float32))
             dq = fakequant_site(act, site).reshape(-1, act.shape[-1])
+        elif isinstance(p["down"].w, ScaledW8):
+            from ..ops.quantize_ops import silu_mul_fakequant_x
+            dq = silu_mul_fakequant_x(gate, up, *site.splits)
         else:
             dq = silu_mul_quantize_x(gate, up, *site.splits)
         y = p["down"](dq)
         return y.reshape(*h.shape[:-1], y.shape[-1])
     return p["down"](jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16)
                      * up)
+
+
+def _silu_mul_q(g, u, ep):
+    """Expert down-input quantize: fakequant-direct for ScaledW8 w2."""
+    from ..mx.scaledw8 import ScaledW8
+    if isinstance(ep["w2"].w, ScaledW8):
+        from ..ops.quantize_ops import silu_mul_fakequant_x
+        return silu_mul_fakequant_x(g, u, *ep["site_down"].splits)
+    return silu_mul_quantize_x(g, u, *ep["site_down"].splits)
 
 
 def moe_capacity(cfg: ModelConfig, t: int) -> int:
@@ -174,7 +187,7 @@ def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
             xg = xn_pad[idx[e]]                              # (C, K)
             if _is_quant(ep["w1"]):
                 g, u = project_all(xg, ep["site_in"], [ep["w1"], ep["w3"]])
-                dq = silu_mul_quantize_x(g, u, *ep["site_down"].splits)
+                dq = _silu_mul_q(g, u, ep)
                 ye = ep["w2"](dq)
             else:
                 g, u = ep["w1"](xg), ep["w3"](xg)
@@ -196,7 +209,7 @@ def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
             ye = ep["w2"](act)
         elif _is_quant(ep["w1"]):
             g, u = project_all(xn, ep["site_in"], [ep["w1"], ep["w3"]])
-            dq = silu_mul_quantize_x(g, u, *ep["site_down"].splits)
+            dq = _silu_mul_q(g, u, ep)
             ye = ep["w2"](dq)
         else:
             g = ep["w1"](xn)

@@ -114,6 +114,70 @@ def silu_mul_quantize_x(gate: jnp.ndarray, up: jnp.ndarray,
                                interpret=interpret)
 
 
+def fakequant_device(x2d: jnp.ndarray, k4: int, k6: int,
+                     k8: int) -> jnp.ndarray:
+    """Device-layout activations (M, K) -> the exact bf16 grid image.
+
+    ScaledW8 matmuls consume the quantized activation's bf16 image, not
+    its codes — so when every consumer of a site is ScaledW8, encoding to
+    codes and decoding back is pure overhead (measured ~30 us/op of
+    composed-graph cost per step at 8B decode, docs/perf_notes.md).
+    Identical values to decode(activation_quantize(x)): per 32-block
+    UE8M0 scale + saturating RNE per segment format.
+
+    Device layout puts block b's elements at columns {b + i*nb}: reshape
+    (M, 32, nb) makes blocks the minor-but-one axis, no gathers needed.
+    """
+    xf = x2d.astype(jnp.float32)
+    parts = []
+    off = 0
+    for kseg, fmt in ((k4, FP4), (k6, FP6), (k8, FP8)):
+        if not kseg:
+            off += kseg
+            continue
+        seg = xf[:, off:off + kseg]
+        nb = kseg // 32
+        xb = seg.reshape(-1, 32, nb)
+        maxv = jnp.max(jnp.abs(xb), axis=-2)                  # (M, nb)
+        e = nx.block_scale_exponent(maxv, fmt)
+        q = nx.quantize_to_grid(xb * nx.exp2i(-e)[:, None, :], fmt)
+        vals = q * nx.exp2i(e)[:, None, :]
+        parts.append(vals.reshape(-1, kseg))
+        off += kseg
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    return out.astype(jnp.bfloat16)
+
+
+def rmsnorm_fakequant_x(x: jnp.ndarray, gamma: jnp.ndarray,
+                        perm: jnp.ndarray, k4: int, k6: int, k8: int, *,
+                        eps: float = 1e-6) -> jnp.ndarray:
+    """rmsnorm_quantize_x's fakequant twin: same values, bf16 out."""
+    x2d, _ = _flatten(x)
+    xf = x2d.astype(jnp.float32)
+    rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    g = jnp.take(gamma.astype(jnp.float32), perm, axis=0)
+    y = jnp.take(xf, perm, axis=1) * rvar * g[None, :]
+    return fakequant_device(y, k4, k6, k8)
+
+
+def reorder_fakequant_x(x: jnp.ndarray, perm: Optional[jnp.ndarray],
+                        k4: int, k6: int, k8: int) -> jnp.ndarray:
+    """reorder_quantize_x's fakequant twin."""
+    x2d, _ = _flatten(x)
+    if perm is not None:
+        x2d = jnp.take(x2d, perm, axis=1)
+    return fakequant_device(x2d, k4, k6, k8)
+
+
+def silu_mul_fakequant_x(gate: jnp.ndarray, up: jnp.ndarray,
+                         k4: int, k6: int, k8: int) -> jnp.ndarray:
+    """silu_mul_quantize_x's fakequant twin."""
+    g2d, _ = _flatten(gate)
+    u2d, _ = _flatten(up)
+    y = jax.nn.silu(g2d.astype(jnp.float32)) * u2d.astype(jnp.float32)
+    return fakequant_device(y, k4, k6, k8)
+
+
 def dequantize_for_test(t: MixedTensor) -> jnp.ndarray:
     from ..mx.mxtensor import dequantize_mixed
     return dequantize_mixed(t)

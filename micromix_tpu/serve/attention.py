@@ -88,15 +88,20 @@ def _decode_kernel(
     inv_ref,                     # (1, D) rope inv-freq (halves duplicated)
     kc, vc, ksz, vsz,            # full cache arrays (ANY/HBM)
     out_ref,                     # (1, Hkv, G, D) VMEM
+    state_ref,                   # (1, Hkv, G, 2) VMEM: [m, den] or None
     kbuf, vbuf, kszb, vszb, sem,  # scratch (double-buffered)
     *, bits: int, page_size: int, hkv: int, g: int, d: int,
-    window: Optional[int], fused_rope: bool,
+    window: Optional[int], fused_rope: bool, with_state: bool,
 ):
     b = pl.program_id(0)
     n = lengths[b]
     npages = pl.cdiv(n, page_size)
-    # sliding window: pages fully below n - window are never touched
-    p0 = (jnp.maximum(n - window, 0) // page_size
+    # sliding window floor: relative to the QUERY position when known
+    # (fused rope passes it; with a tail buffer n may lag the query), else
+    # to the stored length (classic append-then-attend, where n = qpos+1)
+    wb = positions[b] + 1 if fused_rope else n
+    # pages fully below the floor are never touched
+    p0 = (jnp.maximum(wb - window, 0) // page_size
           if window is not None else jnp.int32(0))
     scale = 1.0 / (d ** 0.5)
     q = q_ref[0].astype(jnp.float32)                # (Hkv, G, D)
@@ -149,7 +154,7 @@ def _decode_kernel(
 
         pos = p * page_size + jax.lax.broadcasted_iota(
             jnp.int32, (g, page_size), 1)
-        lo_ok = (pos >= n - window) if window is not None else True
+        lo_ok = (pos >= wb - window) if window is not None else True
         s_heads, pv_heads = [], []
         for hh in range(hkv):
             k_h = _dequant_head(kbuf[slot, hh], kszb[slot, hh], bits)  # (D,ps)
@@ -181,6 +186,11 @@ def _decode_kernel(
     acc, m, den = jax.lax.fori_loop(p0, npages, body, (acc0, m0, den0))
     out = acc / jnp.maximum(den, 1e-30)[..., None]
     out_ref[0] = out.astype(out_ref.dtype)
+    # expose the flash recurrence state so callers can merge a tail of
+    # not-yet-paged tokens (runner.decode_multi's chunk tail buffer);
+    # always written (trivial) so the output buffer is never undefined
+    del with_state
+    state_ref[0] = jnp.stack([m, den], axis=-1)
 
 
 def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
@@ -188,12 +198,17 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
                            sliding_window: Optional[int] = None,
                            rope_positions: Optional[jnp.ndarray] = None,
                            rope_inv_freq: Optional[jnp.ndarray] = None,
-                           interpret: Optional[bool] = None) -> jnp.ndarray:
+                           with_state: bool = False,
+                           interpret: Optional[bool] = None):
     """Pallas path.  q (B, H, D) -> (B, H, D).
 
     With ``rope_positions`` (B,) + ``rope_inv_freq`` (D//2,), q arrives
     UNrotated and the kernel applies RoPE itself (fused, matching the
     reference decode kernel's rotary mode, decode.cuh:40-104).
+
+    with_state=True additionally returns (m, den) each (B, H) f32 — the
+    flash max/denominator of the paged part, for merging with a tail of
+    tokens not yet written to pages.
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -222,7 +237,23 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
 
     kernel = functools.partial(
         _decode_kernel, bits=cache.bits, page_size=ps, hkv=hkv, g=g, d=d,
-        window=sliding_window, fused_rope=fused_rope)
+        window=sliding_window, fused_rope=fused_rope,
+        with_state=with_state)
+
+    out_specs = [pl.BlockSpec((1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((b, hkv, g, d), jnp.bfloat16)]
+    if with_state:
+        out_specs.append(pl.BlockSpec((1, hkv, g, 2),
+                                      lambda i, *_: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, hkv, g, 2), jnp.float32))
+    else:
+        # the kernel signature always takes a state ref slot; feed a dummy
+        out_specs.append(pl.BlockSpec((1, hkv, g, 2),
+                                      lambda i, *_: (i, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((b, hkv, g, 2), jnp.float32))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -232,8 +263,7 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ] + [pl.BlockSpec(memory_space=pl.ANY)] * 4,
-        out_specs=pl.BlockSpec((1, hkv, g, d), lambda i, *_: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((2, hkv, dq, ps), cache.k_codes.dtype),
             pltpu.VMEM((2, hkv, dq, ps), cache.k_codes.dtype),
@@ -243,11 +273,16 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
         ],
     )
 
-    out = pl.pallas_call(
+    out, state = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b, hkv, g, d), jnp.bfloat16),
+        out_shape=tuple(out_shape),
         interpret=interpret,
     )(table, lengths, positions, qg, inv_full, cache.k_codes,
       cache.v_codes, cache.k_sz, cache.v_sz)
-    return out.reshape(b, h, d)
+    out = out.reshape(b, h, d)
+    if with_state:
+        m = state[..., 0].reshape(b, h)
+        den = state[..., 1].reshape(b, h)
+        return out, m, den
+    return out
