@@ -116,12 +116,22 @@ class WeightOnlyLinear:
     lossless accuracy; the on-ramp mode before full mixed-precision.
     """
 
-    w: MixedTensor       # (out_features, K) quantized
+    # (out_features, K) quantized: MixedTensor (any MX format), or a
+    # CANONICAL-column-order ScaledW8 for the mxfp4 decode-optimized
+    # layout (activations are plain bf16 here, so no block interleave)
+    w: Any
     bias: Optional[jnp.ndarray] = None
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        wd = dequantize_mixed(self.w, dtype=jnp.bfloat16)
-        y = jnp.dot(x, wd.T, preferred_element_type=jnp.float32)
+        from ..mx.scaledw8 import ScaledW8
+        if isinstance(self.w, ScaledW8):
+            lead = x.shape[:-1]
+            y = mixed_matmul(x.reshape(-1, x.shape[-1]).astype(jnp.bfloat16),
+                             self.w)
+            y = y.reshape(*lead, y.shape[-1])
+        else:
+            wd = dequantize_mixed(self.w, dtype=jnp.bfloat16)
+            y = jnp.dot(x, wd.T, preferred_element_type=jnp.float32)
         if self.bias is not None:
             y = y + self.bias
         return y.astype(jnp.bfloat16)

@@ -252,22 +252,36 @@ _WEIGHT_ONLY_BUDGETS = {"mxfp4": lambda k: (k, 0, 0),
 
 
 def quantize_model_weight_only(params: Dict[str, Any], cfg: ModelConfig,
-                               fmt: str = "mxfp8") -> Dict[str, Any]:
+                               fmt: str = "mxfp8",
+                               layout: str = "auto") -> Dict[str, Any]:
     """Weight-only MX quantization (BASELINE.md config 1).
 
     Every decoder-layer linear becomes a WeightOnlyLinear holding the whole
     K axis in one MX format (symmetric — the weight keeps its own format,
     not the all-MXFP4 mode); activations stay bf16, no calibration, no
     channel reorder.  Router / embeddings / norms / head stay bf16.
+
+    ``layout``: for fmt="mxfp4", "auto"/"scaledw8" store the weight as a
+    canonical-order ScaledW8 (1 B/elem scaled codes, ~6-op kernel decode —
+    the same trick that fixed the mixed decode GEMM, docs/perf_notes.md);
+    "splitplane" keeps the packed MixedTensor (0.5 B/elem, capacity-first).
+    Identical numerics: both decode to the exact same bf16 weight image.
     """
     from .common import WeightOnlyLinear
 
     budget = _WEIGHT_ONLY_BUDGETS[fmt]
+    use_w8 = fmt == "mxfp4" and layout in ("auto", "scaledw8")
 
     def conv(lin):
         n, k = lin.w.shape
         wq = quantize_mixed(lin.w.astype(jnp.float32), *budget(k),
                             weight_fp4_only=False, pack_fp4=(fmt == "mxfp4"))
+        if use_w8:
+            from ..mx.mxtensor import dequantize_mixed
+            from ..mx.scaledw8 import ScaledW8, encode_scaled_values
+            vals = dequantize_mixed(wq, dtype=jnp.float32)  # canonical order
+            codes, base = encode_scaled_values(vals, check=True)
+            wq = ScaledW8(codes=codes, base=base, k4=k, k6=0, k8=0)
         return WeightOnlyLinear(
             w=wq,
             bias=None if lin.bias is None else lin.bias.astype(jnp.bfloat16))

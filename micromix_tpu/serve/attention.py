@@ -36,9 +36,13 @@ _NEG = -1e30
 
 def paged_decode_attention_xla(q: jnp.ndarray, cache: PagedKVCache,
                                seq_ids: jnp.ndarray,
-                               sliding_window: Optional[int] = None
+                               sliding_window: Optional[int] = None,
+                               lengths: Optional[jnp.ndarray] = None
                                ) -> jnp.ndarray:
-    """Reference path.  q (B, H, D) -> (B, H, D)."""
+    """Reference path.  q (B, H, D) -> (B, H, D).
+
+    ``lengths`` (B,) overrides per-row attended lengths (see the Pallas
+    path's docstring — the speculative-verify causal clamp)."""
     b, h, d = q.shape
     hkv = cache.n_kv_heads
     g = h // hkv
@@ -55,7 +59,8 @@ def paged_decode_attention_xla(q: jnp.ndarray, cache: PagedKVCache,
     qg = q.reshape(b, hkv, g, d).astype(jnp.float32)
     scores = jnp.einsum("bkgd,btkd->bkgt", qg, k)
     scores = scores / jnp.sqrt(float(d))
-    n = cache.lengths[seq_ids][:, None]
+    n = (cache.lengths[seq_ids] if lengths is None
+         else lengths.astype(jnp.int32))[:, None]
     valid = (jnp.arange(t)[None, :] < n)
     if sliding_window is not None:
         valid = jnp.logical_and(valid,
@@ -199,6 +204,7 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
                            rope_positions: Optional[jnp.ndarray] = None,
                            rope_inv_freq: Optional[jnp.ndarray] = None,
                            with_state: bool = False,
+                           lengths: Optional[jnp.ndarray] = None,
                            interpret: Optional[bool] = None):
     """Pallas path.  q (B, H, D) -> (B, H, D).
 
@@ -209,6 +215,11 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
     with_state=True additionally returns (m, den) each (B, H) f32 — the
     flash max/denominator of the paged part, for merging with a tail of
     tokens not yet written to pages.
+
+    ``lengths`` (B,) overrides the cache's per-seq stored lengths: row b
+    attends to cache positions [0, lengths[b]).  Speculative verify uses
+    this to run several query positions of ONE sequence as separate rows,
+    each causally clamped to its own position (serve/speculative.py).
     """
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
@@ -233,7 +244,10 @@ def paged_decode_attention(q: jnp.ndarray, cache: PagedKVCache,
 
     qg = q.reshape(b, hkv, g, d)
     table = cache.page_table[seq_ids]
-    lengths = cache.lengths[seq_ids]
+    if lengths is None:
+        lengths = cache.lengths[seq_ids]
+    else:
+        lengths = lengths.astype(jnp.int32)
 
     kernel = functools.partial(
         _decode_kernel, bits=cache.bits, page_size=ps, hkv=hkv, g=g, d=d,

@@ -261,3 +261,51 @@ def _rope1(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
     rot = jnp.concatenate([-x2, x1], axis=-1)
     return (x.astype(jnp.float32) * cos[:, None, :]
             + rot.astype(jnp.float32) * sin[:, None, :]).astype(x.dtype)
+
+
+def verify_block(params: Params, cfg: ModelConfig, caches: Caches,
+                 tokens: jnp.ndarray, seq_ids: jnp.ndarray,
+                 positions: jnp.ndarray) -> Tuple[jnp.ndarray, Caches]:
+    """Speculative-verify forward: tokens (B, S) starting at per-slot
+    ``positions`` -> (logits (B, S, V) f32, updated caches).
+
+    Scores all S proposed tokens of every slot in ONE dispatch.  TPU-first
+    trick: rather than a separate short-prefill attention, the S positions
+    of a slot run as S independent ROWS of the paged decode kernel, each
+    causally clamped to its own position via the per-row ``lengths``
+    override — all K/V (including the in-block tokens, appended first) is
+    read from the quantized cache, exactly matching what plain decode
+    would have seen, and the matmuls run at M=B*S where the MXU is more
+    efficient than at decode M=B.  Equivalent role to target scoring in
+    speculative decoding (Leviathan et al.); the reference has no analog.
+    """
+    from ..models.common import rope_inv_freq
+    b, s = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    pos = positions[:, None] + jnp.arange(s, dtype=jnp.int32)[None]  # (B,S)
+    flat_pos = pos.reshape(-1)
+    flat_seq = jnp.repeat(seq_ids, s)
+    cos = jnp.cos(_rope_angles(flat_pos, cfg))
+    sin = jnp.sin(_rope_angles(flat_pos, cfg))
+    inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
+    new_caches = []
+    for p, cache in zip(params["layers"], caches):
+        q, k, v = _qkv(h, p, cfg)                     # (B, S, Hn/Hkv, D)
+        k = _rope1(k.reshape(b * s, cfg.num_kv_heads, cfg.head_dim),
+                   cos, sin)
+        cache = append_kv(cache, flat_seq, flat_pos, k,
+                          v.reshape(b * s, cfg.num_kv_heads, cfg.head_dim))
+        new_caches.append(cache)
+        out = paged_decode_attention(
+            q.reshape(b * s, cfg.num_heads, cfg.head_dim),
+            cache, flat_seq,
+            sliding_window=cfg.sliding_window,
+            rope_positions=flat_pos, rope_inv_freq=inv,
+            lengths=flat_pos + 1)
+        out = out.reshape(b, s, cfg.num_heads * cfg.head_dim)
+        h = h + _o_proj(out, p)
+        h = h + _mlp(h, p, cfg)
+    h = rmsnorm(h, params["final_ln"], cfg.rms_eps)
+    logits = jnp.dot(h, params["lm_head"].T.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return logits, new_caches

@@ -1,0 +1,239 @@
+"""Speculative decoding: draft-propose / target-verify / accept-rollback.
+
+Net-new capability on top of the reference's serving surface (the
+reference has no generation loop at all — SURVEY §2; this extends the
+engine the same way FlashInfer-style systems grew spec decode).  The
+algorithm is standard speculative sampling (Leviathan et al. 2023 /
+Chen et al. 2023); the design is TPU-first:
+
+  * the draft chain is a ``lax.scan`` of gamma+1 paged decode steps
+    (the +1 re-appends the previous token's K/V, which heals the draft
+    cache's one-position hole after a fully-accepted round — appends are
+    idempotent overwrites, so this needs no host branching),
+  * target verify scores all gamma+1 positions of every slot in ONE
+    dispatch via ``runner.verify_block`` (rows of the paged decode
+    kernel, causally clamped per row — no separate prefill program),
+  * accept/fixup/rollback is pure jnp on (B, gamma) arrays; cache
+    rollback is just writing per-sequence lengths (pages stay allocated;
+    stale entries are overwritten by later appends at the same
+    positions),
+  * a whole round — draft scan, verify, accept, rollback — is one jitted
+    program; ``spec_decode_multi`` scans several rounds per dispatch
+    (the decode_multi chunking story, serve/runner.py:214-247).
+
+Exactness: with temperature 0 everywhere the emitted stream equals
+greedy decoding of the TARGET model exactly, whatever the draft
+proposes (tests/test_speculative.py locks this).  With temperature > 0
+the accept rule min(1, p_t/p_d) + residual resampling preserves the
+target distribution token-by-token.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.common import ModelConfig
+from .kv_cache import PagedKVCache
+from .runner import decode_step, verify_block
+
+Params = Dict[str, Any]
+Caches = List[PagedKVCache]
+
+
+@dataclasses.dataclass(frozen=True)
+class SpecState:
+    """Per-slot carry between speculative rounds.
+
+    prev/cur are the last two emitted tokens; cur sits at ``positions``
+    and is the next token whose K/V the round will append.  ``prev`` is
+    re-processed by the draft chain every round (idempotent K/V
+    overwrite) so the draft cache never carries a hole.
+    """
+
+    prev: jnp.ndarray       # (B,) int32 token at positions - 1
+    cur: jnp.ndarray        # (B,) int32 token at positions
+    positions: jnp.ndarray  # (B,) int32
+
+
+jax.tree_util.register_dataclass(
+    SpecState, data_fields=["prev", "cur", "positions"], meta_fields=[])
+
+
+def _softmax_t(logits: jnp.ndarray, temps: jnp.ndarray) -> jnp.ndarray:
+    """Temperature softmax; temps (B,) broadcast over trailing dims.
+
+    temp <= 0 rows get a one-hot argmax distribution (greedy limit).
+    """
+    t = jnp.maximum(temps, 1e-6)[:, None]
+    p = jax.nn.softmax(logits.astype(jnp.float32) / t, axis=-1)
+    greedy = jax.nn.one_hot(jnp.argmax(logits, axis=-1), logits.shape[-1],
+                            dtype=jnp.float32)
+    return jnp.where((temps <= 0.0)[:, None], greedy, p)
+
+
+def draft_propose(dparams: Params, dcfg: ModelConfig, dcaches: Caches,
+                  state: SpecState, seq_ids: jnp.ndarray, key: jax.Array,
+                  temps: jnp.ndarray, *, gamma: int
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, Caches]:
+    """Draft chain: propose ``gamma`` tokens per slot.
+
+    Returns (proposed (B, gamma) int32, draft probs of the proposed
+    tokens' distributions (B, gamma, V) f32, updated draft caches).
+
+    Step 0 re-processes ``prev`` (heals the post-full-accept hole, output
+    discarded); steps 1..gamma process cur, d1, ..  Greedy rows
+    (temp<=0) propose argmax.
+    """
+    b = state.cur.shape[0]
+
+    def step(carry, i):
+        caches, tok, pos = carry
+        logits, caches = decode_step(dparams, dcfg, caches, tok, seq_ids,
+                                     pos)
+        probs = _softmax_t(logits, temps)                  # (B, V)
+        k = jax.random.fold_in(key, i)
+        nxt = jnp.where(
+            temps <= 0.0,
+            jnp.argmax(logits, axis=-1).astype(jnp.int32),
+            jax.random.categorical(
+                k, jnp.log(jnp.maximum(probs, 1e-30)), axis=-1)
+            .astype(jnp.int32))
+        return (caches, nxt, pos + 1), (nxt, probs)
+
+    # step 0: heal prev (only the K/V append side effect is kept)
+    (dcaches, _, _), _ = step((dcaches, state.prev, state.positions - 1),
+                              jnp.int32(0))
+    (dcaches, _, _), (toks, probs) = jax.lax.scan(
+        step, (dcaches, state.cur, state.positions),
+        jnp.arange(1, gamma + 1, dtype=jnp.int32))
+    # toks: (gamma, B) -> (B, gamma); probs: (gamma, B, V) -> (B, gamma, V)
+    return (jnp.swapaxes(toks, 0, 1), jnp.swapaxes(probs, 0, 1), dcaches)
+
+
+def accept_tokens(proposed: jnp.ndarray, dprobs: jnp.ndarray,
+                  tlogits: jnp.ndarray, key: jax.Array,
+                  temps: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Speculative acceptance + fixup.
+
+    proposed (B, gamma); dprobs (B, gamma, V) draft distributions;
+    tlogits (B, gamma+1, V) target logits at [cur, d1..d_gamma].
+    Returns (emitted (B, gamma+1) int32 right-padded with the fixup/bonus
+    token, n_emitted (B,) in [1, gamma+1], all_tokens_valid_mask).
+
+    Greedy rows accept iff the proposal equals the target argmax; sampled
+    rows use accept-prob min(1, p_t/p_d) and residual (p_t - p_d)+
+    resampling at the first rejection (bonus ~ p_t when all accepted) —
+    the target-distribution-preserving rule.
+    """
+    b, gamma = proposed.shape
+    v = tlogits.shape[-1]
+    tp = jax.vmap(_softmax_t, in_axes=(1, None), out_axes=1)(
+        tlogits, temps)                                    # (B, gamma+1, V)
+    tq = jnp.take_along_axis(tp[:, :gamma], proposed[:, :, None],
+                             axis=-1)[..., 0]              # (B, gamma)
+    dq = jnp.take_along_axis(dprobs, proposed[:, :, None],
+                             axis=-1)[..., 0]              # (B, gamma)
+    u = jax.random.uniform(jax.random.fold_in(key, 1), (b, gamma))
+    ok_sampled = u < jnp.minimum(1.0, tq / jnp.maximum(dq, 1e-30))
+    ok_greedy = proposed == jnp.argmax(tlogits[:, :gamma], axis=-1)
+    ok = jnp.where((temps <= 0.0)[:, None], ok_greedy, ok_sampled)
+    # leading-accept count
+    a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=-1), axis=-1)  # (B,)
+    # fixup distribution at the first rejected position (or bonus at gamma)
+    arange_g = jnp.arange(gamma + 1, dtype=jnp.int32)
+    sel = jnp.minimum(a, gamma)
+    t_at = jnp.take_along_axis(tp, sel[:, None, None], axis=1)[:, 0]  # (B,V)
+    d_at = jnp.take_along_axis(
+        jnp.concatenate([dprobs, jnp.zeros((b, 1, v), dprobs.dtype)],
+                        axis=1),
+        sel[:, None, None], axis=1)[:, 0]
+    resid = jnp.maximum(t_at - jnp.where((a < gamma)[:, None], d_at, 0.0),
+                        0.0)
+    resid = resid / jnp.maximum(jnp.sum(resid, axis=-1, keepdims=True),
+                                1e-30)
+    fix_sampled = jax.random.categorical(
+        jax.random.fold_in(key, 2),
+        jnp.log(jnp.maximum(resid, 1e-30)), axis=-1).astype(jnp.int32)
+    fix_greedy = jnp.take_along_axis(
+        jnp.argmax(tlogits, axis=-1), sel[:, None], axis=1)[:, 0]
+    fix = jnp.where(temps <= 0.0, fix_greedy.astype(jnp.int32), fix_sampled)
+    # emitted = accepted proposals then the fixup token, right-padded
+    emitted = jnp.where(arange_g[None, :gamma + 1] < a[:, None],
+                        jnp.concatenate(
+                            [proposed, jnp.zeros((b, 1), jnp.int32)],
+                            axis=1),
+                        0)
+    emitted = emitted.at[jnp.arange(b), a].set(fix)
+    n_emitted = a + 1
+    mask = arange_g[None] < n_emitted[:, None]
+    return emitted, n_emitted, mask
+
+
+def _set_lengths(caches: Caches, seq_ids: jnp.ndarray,
+                 new_len: jnp.ndarray) -> Caches:
+    """Write per-sequence lengths on every layer cache (rollback)."""
+    out = []
+    for c in caches:
+        out.append(dataclasses.replace(
+            c, lengths=c.lengths.at[seq_ids].set(new_len)))
+    return out
+
+
+def spec_round(tparams: Params, dparams: Params, cfg: ModelConfig,
+               dcfg: ModelConfig, tcaches: Caches, dcaches: Caches,
+               state: SpecState, seq_ids: jnp.ndarray, key: jax.Array,
+               temps: jnp.ndarray, *, gamma: int):
+    """One draft+verify+accept round.  Returns
+    (emitted (B, gamma+1), n_emitted (B,), new state, tcaches, dcaches).
+    """
+    kd, ka = jax.random.split(key)
+    proposed, dprobs, dcaches = draft_propose(
+        dparams, dcfg, dcaches, state, seq_ids, kd, temps, gamma=gamma)
+    block = jnp.concatenate([state.cur[:, None], proposed], axis=1)
+    tlogits, tcaches = verify_block(tparams, cfg, tcaches, block, seq_ids,
+                                    state.positions)
+    emitted, n_emitted, _ = accept_tokens(proposed, dprobs, tlogits, ka,
+                                          temps)
+    new_pos = state.positions + n_emitted
+    # rollback: valid entries cover positions [0, new_pos)
+    tcaches = _set_lengths(tcaches, seq_ids, new_pos)
+    dlen = jnp.minimum(state.positions + gamma, new_pos)
+    dcaches = _set_lengths(dcaches, seq_ids, dlen)
+    last = jnp.take_along_axis(emitted, (n_emitted - 1)[:, None],
+                               axis=1)[:, 0]
+    prev = jnp.where(n_emitted > 1,
+                     jnp.take_along_axis(emitted, (n_emitted - 2)[:, None],
+                                         axis=1)[:, 0],
+                     state.cur)
+    new_state = SpecState(prev=prev, cur=last, positions=new_pos)
+    return emitted, n_emitted, new_state, tcaches, dcaches
+
+
+def spec_decode_multi(tparams: Params, dparams: Params, cfg: ModelConfig,
+                      dcfg: ModelConfig, tcaches: Caches, dcaches: Caches,
+                      state: SpecState, seq_ids: jnp.ndarray,
+                      key: jax.Array, temps: jnp.ndarray, *, gamma: int,
+                      n_rounds: int):
+    """``n_rounds`` speculative rounds in ONE program (lax.scan).
+
+    Returns (emitted (n_rounds, B, gamma+1), n_emitted (n_rounds, B),
+    final state, tcaches, dcaches).  The host slices each round's first
+    ``n_emitted`` tokens per slot (decode_multi's chunking contract).
+    """
+    def body(carry, i):
+        tcaches, dcaches, state = carry
+        k = jax.random.fold_in(key, i)
+        emitted, n_emitted, state, tcaches, dcaches = spec_round(
+            tparams, dparams, cfg, dcfg, tcaches, dcaches, state, seq_ids,
+            k, temps, gamma=gamma)
+        return (tcaches, dcaches, state), (emitted, n_emitted)
+
+    (tcaches, dcaches, state), (emitted, n_emitted) = jax.lax.scan(
+        body, (tcaches, dcaches, state),
+        jnp.arange(n_rounds, dtype=jnp.int32))
+    return emitted, n_emitted, state, tcaches, dcaches

@@ -164,3 +164,57 @@ def test_native_fused_scaledw8_matches_python(rng):
     # zero tensor: all codes 0, base 0
     z = quantize_scaledw8_host(np.zeros((8, K), np.float32), K4, K6, K8)
     assert z is not None and (z[0] == 0).all() and z[1] == 0
+
+
+def test_weight_only_scaledw8_layout(rng):
+    """Weight-only mxfp4 'scaledw8' layout == 'splitplane' numerics, and
+    the WeightOnlyLinear ScaledW8 path == dequant + dot on the operands."""
+    from micromix_tpu.models import (
+        ModelConfig, forward, quantize_model_weight_only,
+        random_dense_params)
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=1, num_heads=2,
+                      num_kv_heads=2, head_dim=64, rope_theta=10000.0,
+                      rms_eps=1e-6)
+    dense = random_dense_params(cfg, seed=52)
+    sp = quantize_model_weight_only(dense, cfg, "mxfp4",
+                                    layout="splitplane")
+    w8 = quantize_model_weight_only(dense, cfg, "mxfp4", layout="scaledw8")
+    lin_sp = sp["layers"][0]["q"]
+    lin_w8 = w8["layers"][0]["q"]
+    assert isinstance(lin_w8.w, ScaledW8) and isinstance(
+        lin_sp.w, MixedTensor)
+    # decoded weight images are bit-identical
+    np.testing.assert_array_equal(
+        np.asarray(dequantize_mixed(lin_sp.w, dtype=jnp.bfloat16)),
+        np.asarray(dequantize_scaled_w8(lin_w8.w)))
+    x = jnp.asarray(rng.normal(0, 1, (4, 128)), jnp.bfloat16)
+    np.testing.assert_allclose(
+        np.asarray(lin_sp(x), np.float32), np.asarray(lin_w8(x), np.float32),
+        rtol=2e-2, atol=2e-2)
+    tokens = jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(forward(sp, cfg, tokens)),
+        np.asarray(forward(w8, cfg, tokens)), rtol=5e-2, atol=5e-2)
+
+
+def test_weight_only_scaledw8_checkpoint_roundtrip(tmp_path, rng):
+    from micromix_tpu.models import (
+        ModelConfig, forward, load_params, quantize_model_weight_only,
+        random_dense_params, save_params)
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=1, num_heads=2,
+                      num_kv_heads=2, head_dim=64, rope_theta=10000.0,
+                      rms_eps=1e-6)
+    wq = quantize_model_weight_only(
+        random_dense_params(cfg, seed=53), cfg, "mxfp4", layout="scaledw8")
+    save_params(str(tmp_path / "wo8"), wq, cfg)
+    loaded, cfg2, _ = load_params(str(tmp_path / "wo8"))
+    assert cfg2 == cfg
+    assert isinstance(loaded["layers"][0]["q"].w, ScaledW8)
+    tokens = jnp.asarray(rng.integers(0, 64, (1, 8)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(forward(wq, cfg, tokens)),
+        np.asarray(forward(loaded, cfg, tokens)))

@@ -1,0 +1,253 @@
+"""Speculative decoding: verify-forward parity + acceptance-rule locks.
+
+On a random tiny model the top logits cluster within ~0.02 while f32
+reduction-order noise across differently-compiled programs is of the same
+size, so exact cross-program greedy token equality is NOT a testable
+property (measured: jit vs eager of the same verify flips an argmax).
+What is locked instead:
+
+  * ``verify_block`` logits match the plain decode chain at every
+    position at the logit level (atol ≫ noise, ≪ real signal) — including
+    across a rollback, which would expose stale-cache / position bugs,
+  * every token the speculative loop emits is within-noise of the target
+    argmax when teacher-forced through the plain decode chain — the
+    operational definition of greedy decoding,
+  * ``accept_tokens`` (pure function) is bit-exact on constructed
+    distributions.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from micromix_tpu.models import ModelConfig, random_dense_params
+from micromix_tpu.serve.kv_cache import make_cache
+from micromix_tpu.serve.runner import decode_step, prefill, verify_block
+from micromix_tpu.serve.speculative import (
+    SpecState, accept_tokens, spec_decode_multi)
+
+ATOL = 0.05  # >> measured cross-program f32 noise (~0.02)
+
+
+def _cfg(**kw):
+    base = dict(
+        arch="llama", vocab_size=96, hidden_size=128, intermediate_size=256,
+        num_layers=2, num_heads=2, num_kv_heads=2, head_dim=64,
+        rope_theta=10000.0, rms_eps=1e-6,
+    )
+    base.update(kw)
+    return ModelConfig(**base)
+
+
+def _make_caches(cfg, b, n_pages_per_seq=8, page=16):
+    caches = [make_cache(b * n_pages_per_seq + 1, page, cfg.num_kv_heads,
+                         cfg.head_dim, b, n_pages_per_seq, bits=4)
+              for _ in range(cfg.num_layers)]
+    table = np.zeros((b, n_pages_per_seq), np.int32)
+    for i in range(b):
+        table[i] = np.arange(n_pages_per_seq) + i * n_pages_per_seq + 1
+    return [dataclasses.replace(c, page_table=jnp.asarray(table))
+            for c in caches]
+
+
+def _prefill_all(params, cfg, caches, prompts):
+    """Per-slot prefill; returns (caches, state) with cur = greedy next."""
+    curs, prevs, poss = [], [], []
+    for i, prompt in enumerate(prompts):
+        toks = jnp.asarray([prompt], jnp.int32)
+        logits, caches = prefill(params, cfg, caches, toks,
+                                 jnp.int32(i), jnp.int32(0))
+        curs.append(int(jnp.argmax(logits[0])))
+        prevs.append(prompt[-1])
+        poss.append(len(prompt))
+    return caches, SpecState(prev=jnp.asarray(prevs, jnp.int32),
+                             cur=jnp.asarray(curs, jnp.int32),
+                             positions=jnp.asarray(poss, jnp.int32))
+
+
+def _spec_stream(emitted, n_emitted):
+    """Host-side slice of the per-round emitted tokens -> per-slot lists."""
+    r, b, _ = emitted.shape
+    streams = [[] for _ in range(b)]
+    for i in range(r):
+        for j in range(b):
+            streams[j].extend(
+                np.asarray(emitted[i, j, :int(n_emitted[i, j])]).tolist())
+    return streams
+
+
+def test_verify_block_matches_decode_chain(rng):
+    """Teacher-forced verify logits == decode-chain logits at every
+    position, including a second block after a partial-accept rollback."""
+    cfg = _cfg()
+    b = 2
+    params = random_dense_params(cfg, seed=30)
+    prompts = [list(rng.integers(0, cfg.vocab_size, 7)),
+               list(rng.integers(0, cfg.vocab_size, 5))]
+    seq_ids = jnp.arange(b, dtype=jnp.int32)
+
+    # decode-chain reference logits, teacher-forced on its own argmaxes
+    rc, rst = _prefill_all(params, cfg, _make_caches(cfg, b), prompts)
+    toks, pos, c = rst.cur, rst.positions, rc
+    chain_logits, chain_toks = [], []
+    for _ in range(6):
+        lg, c = decode_step(params, cfg, c, toks, seq_ids, pos)
+        toks = jnp.argmax(lg, -1).astype(jnp.int32)
+        chain_logits.append(np.asarray(lg))
+        chain_toks.append(np.asarray(toks))
+        pos = pos + 1
+    chain_logits = np.stack(chain_logits, 1)      # (B, 6, V)
+    chain_toks = np.stack(chain_toks, 1)          # (B, 6)
+
+    # block 1: [cur, t1, t2] -> logits must match chain positions 0..2
+    tc, st = _prefill_all(params, cfg, _make_caches(cfg, b), prompts)
+    block1 = np.concatenate([np.asarray(st.cur)[:, None],
+                             chain_toks[:, :2]], axis=1)
+    tl1, tc = verify_block(params, cfg, tc, jnp.asarray(block1), seq_ids,
+                           st.positions)
+    np.testing.assert_allclose(np.asarray(tl1), chain_logits[:, :3],
+                               atol=ATOL, rtol=0)
+
+    # emulate a partial accept: roll back to keep only 2 of the 3
+    # scored positions, then verify the NEXT block — any stale K/V from
+    # the dropped position would corrupt these logits
+    from micromix_tpu.serve.speculative import _set_lengths
+    keep = 2
+    new_pos = st.positions + keep
+    tc = _set_lengths(tc, seq_ids, new_pos)
+    block2 = np.concatenate([chain_toks[:, keep - 1][:, None],
+                             chain_toks[:, keep:keep + 2]], axis=1)
+    tl2, tc = verify_block(params, cfg, tc, jnp.asarray(block2), seq_ids,
+                           new_pos)
+    np.testing.assert_allclose(np.asarray(tl2),
+                               chain_logits[:, keep - 1 + 1:keep + 3],
+                               atol=ATOL, rtol=0)
+
+
+@pytest.mark.parametrize("draft_seed", [30, 77])
+def test_spec_stream_is_near_greedy(rng, draft_seed):
+    """Every emitted token is within-noise of the target argmax when
+    teacher-forced through the plain decode chain; identical draft (seed
+    30) keeps the acceptance rate high."""
+    cfg = _cfg()
+    b, gamma, rounds = 2, 3, 4
+    tparams = random_dense_params(cfg, seed=30)
+    dparams = random_dense_params(cfg, seed=draft_seed)
+    prompts = [list(rng.integers(0, cfg.vocab_size, 7)),
+               list(rng.integers(0, cfg.vocab_size, 5))]
+    seq_ids = jnp.arange(b, dtype=jnp.int32)
+
+    tcaches, state = _prefill_all(tparams, cfg, _make_caches(cfg, b),
+                                  prompts)
+    dcaches, _ = _prefill_all(dparams, cfg, _make_caches(cfg, b), prompts)
+    temps = jnp.zeros((b,))
+    emitted, n_emitted, state2, _, _ = spec_decode_multi(
+        tparams, dparams, cfg, cfg, tcaches, dcaches, state, seq_ids,
+        jax.random.PRNGKey(0), temps, gamma=gamma, n_rounds=rounds)
+    streams = _spec_stream(np.asarray(emitted), np.asarray(n_emitted))
+
+    # teacher-force each slot's emitted stream through the decode chain
+    rc, rst = _prefill_all(tparams, cfg, _make_caches(cfg, b), prompts)
+    for j in range(b):
+        toks = rst.cur[j][None]
+        pos = rst.positions[j][None]
+        c = rc
+        for e in streams[j]:
+            lg, c = decode_step(tparams, cfg, c, toks,
+                                jnp.asarray([j], jnp.int32), pos)
+            lg = np.asarray(lg[0])
+            assert lg[e] >= lg.max() - ATOL, (j, e, int(np.argmax(lg)))
+            toks = jnp.asarray([e], jnp.int32)
+            pos = pos + 1
+
+    total = np.asarray([len(s) for s in streams])
+    assert (total >= rounds).all()
+    np.testing.assert_array_equal(
+        np.asarray(state2.positions),
+        np.asarray(state.positions) + total)
+    if draft_seed == 30:
+        # identical draft: most proposals match (modulo f32 argmax flips)
+        assert np.asarray(n_emitted).sum() >= 0.6 * rounds * b * (gamma + 1)
+
+
+def test_accept_tokens_rule():
+    """Unit math: identical dists accept everything; a zero-prob proposal
+    rejects immediately and the fixup comes from the residual support."""
+    b, gamma, v = 2, 3, 8
+    key = jax.random.PRNGKey(1)
+    temps = jnp.ones((b,))
+
+    base = jax.nn.softmax(
+        jnp.linspace(0.0, 1.0, v)[None, None, :]
+        * jnp.ones((b, gamma + 1, 1)), axis=-1)
+    proposed = jnp.full((b, gamma), int(jnp.argmax(base[0, 0])), jnp.int32)
+    # draft == target -> accept prob exactly 1 for every proposal
+    emitted, n_emitted, mask = accept_tokens(
+        proposed, base[:, :gamma], jnp.log(base), key, temps)
+    np.testing.assert_array_equal(np.asarray(n_emitted),
+                                  np.full((b,), gamma + 1))
+
+    # target gives ZERO prob to the proposed token -> immediate reject,
+    # fixup must come from target support minus draft mass
+    tlogits = jnp.full((b, gamma + 1, v), -1e30)
+    tlogits = tlogits.at[:, :, 3].set(0.0)          # target: all mass on 3
+    dprobs = jnp.zeros((b, gamma, v)).at[:, :, 5].set(1.0)  # draft: on 5
+    proposed5 = jnp.full((b, gamma), 5, jnp.int32)
+    emitted, n_emitted, mask = accept_tokens(proposed5, dprobs, tlogits,
+                                             key, temps)
+    np.testing.assert_array_equal(np.asarray(n_emitted), np.ones((b,)))
+    np.testing.assert_array_equal(np.asarray(emitted[:, 0]),
+                                  np.full((b,), 3))
+
+    # greedy rows: acceptance is exact argmax equality, fixup = argmax
+    tg = jnp.zeros((b,))
+    rngl = np.random.default_rng(3)
+    tl = jnp.asarray(rngl.normal(0, 1, (b, gamma + 1, v)), jnp.float32)
+    tm = np.asarray(jnp.argmax(tl, -1))
+    prop = jnp.asarray(np.stack([tm[:, 0], tm[:, 1],
+                                 (tm[:, 2] + 1) % v], axis=1), jnp.int32)
+    dpr = jax.nn.softmax(tl[:, :gamma], axis=-1)
+    emitted, n_emitted, _ = accept_tokens(prop, dpr, tl, key, tg)
+    np.testing.assert_array_equal(np.asarray(n_emitted),
+                                  np.full((b,), 3))  # 2 accepts + fixup
+    np.testing.assert_array_equal(np.asarray(emitted[:, 2]), tm[:, 2])
+
+
+def test_greedy_rows_mixed_with_sampled_rows(rng):
+    """temps mixes greedy (0) and sampled (>0) rows; both emit plausible
+    near-greedy / in-support tokens and counts stay in [1, gamma+1]."""
+    cfg = _cfg()
+    b, gamma, rounds = 2, 2, 3
+    tparams = random_dense_params(cfg, seed=40)
+    dparams = random_dense_params(cfg, seed=41)
+    prompts = [list(rng.integers(0, cfg.vocab_size, 6)) for _ in range(b)]
+    seq_ids = jnp.arange(b, dtype=jnp.int32)
+
+    tcaches, state = _prefill_all(tparams, cfg, _make_caches(cfg, b),
+                                  prompts)
+    dcaches, _ = _prefill_all(dparams, cfg, _make_caches(cfg, b), prompts)
+
+    temps = jnp.asarray([0.0, 0.8])
+    emitted, n_emitted, _, _, _ = spec_decode_multi(
+        tparams, dparams, cfg, cfg, tcaches, dcaches, state, seq_ids,
+        jax.random.PRNGKey(7), temps, gamma=gamma, n_rounds=rounds)
+    counts = np.asarray(n_emitted)
+    assert ((counts >= 1) & (counts <= gamma + 1)).all()
+
+    # greedy row teacher-forced near-argmax check
+    streams = _spec_stream(np.asarray(emitted), counts)
+    rc, rst = _prefill_all(tparams, cfg, _make_caches(cfg, b), prompts)
+    toks = rst.cur[0][None]
+    pos = rst.positions[0][None]
+    c = rc
+    for e in streams[0]:
+        lg, c = decode_step(tparams, cfg, c, toks,
+                            jnp.asarray([0], jnp.int32), pos)
+        lg = np.asarray(lg[0])
+        assert lg[e] >= lg.max() - ATOL
+        toks = jnp.asarray([e], jnp.int32)
+        pos = pos + 1
