@@ -76,7 +76,9 @@ class Engine:
                  n_pages: Optional[int] = None, kv_bits: int = 4,
                  prefill_buckets=(16, 32, 64, 128, 256, 512, 1024, 2048),
                  decode_chunk: int = 8, prefill_chunk: Optional[int] = None,
-                 seed: int = 0, step_fns=None, cache_sharding=None):
+                 seed: int = 0, step_fns=None, cache_sharding=None,
+                 draft_params=None, draft_cfg: Optional[ModelConfig] = None,
+                 spec_gamma: int = 4, spec_rounds: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.max_seqs = max_seqs
@@ -173,10 +175,49 @@ class Engine:
                         jnp.zeros((c.max_pages_per_seq,), jnp.int32)))
                 for c in cs
             ])
+        # --- speculative decoding (serve/speculative.py) ---
+        # a draft model turns the decode phase into draft-propose /
+        # target-verify rounds; spec mode constrains prefill to the
+        # simple paths (single-shot per-slot — the draft cache must see
+        # exactly the prompts the target saw) and supports greedy +
+        # temperature sampling (top-k/top-p requests fall back to normal
+        # decode chunks for correctness).
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg if draft_cfg is not None else (
+            cfg if draft_params is not None else None)
+        self.spec_gamma = spec_gamma
+        self.spec_rounds = spec_rounds or max(
+            1, decode_chunk // (spec_gamma + 1))
+        self.dcaches = None
+        if draft_params is not None:
+            if step_fns is not None:
+                raise ValueError("speculative decoding does not compose "
+                                 "with custom step_fns yet")
+            dcfg = self.draft_cfg
+            self.dcaches = [
+                make_cache(n_pages, page_size, dcfg.num_kv_heads,
+                           dcfg.head_dim, max_seqs + 1, max_pages_per_seq,
+                           bits=kv_bits)
+                for _ in range(dcfg.num_layers)
+            ]
+            self.prefill_chunk = self.buckets[-1]  # single-shot prefill
+            self._can_batch_prefill = False
+            self._draft_prefill = jax.jit(
+                lambda p, c, t, sid, sp, li: prefill(p, dcfg, c, t, sid,
+                                                     sp, li))
+            from .speculative import spec_decode_multi
+            gamma, rounds = self.spec_gamma, self.spec_rounds
+            tcfg = cfg
+            self._spec_multi = jax.jit(
+                lambda tp, dp, tc, dc, st, sid, key, temps:
+                spec_decode_multi(tp, dp, tcfg, dcfg, tc, dc, st, sid, key,
+                                  temps, gamma=gamma, n_rounds=rounds))
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0
         self.preemptions = 0
+        self.spec_accepted = 0
+        self.spec_proposed = 0
         self.ttft: Dict[int, float] = {}
         self._t_submit: Dict[int, float] = {}
 
@@ -209,11 +250,17 @@ class Engine:
             return  # table unchanged; skip the device update
         self.caches = self._set_row(self.caches, jnp.int32(slot_id),
                                     jnp.asarray(row_np))
+        if self.dcaches is not None:
+            self.dcaches = self._set_row(self.dcaches, jnp.int32(slot_id),
+                                         jnp.asarray(row_np))
 
     def _release(self, slot_id: int) -> None:
         self.block_manager.release(slot_id)
         self.slots[slot_id] = _Slot()
         self.caches = self._clear_slot(self.caches, jnp.int32(slot_id))
+        if self.dcaches is not None:
+            self.dcaches = self._clear_slot(self.dcaches,
+                                            jnp.int32(slot_id))
 
     # ---------------- scheduling ----------------
 
@@ -372,6 +419,14 @@ class Engine:
         true_len = slot.pos + n
         self.caches = self._set_len(self.caches, jnp.int32(slot_id),
                                     jnp.int32(true_len))
+        if self.dcaches is not None:
+            # the draft must see exactly the prompt the target saw
+            # (spec mode forces single-shot prefill, so hist is 0)
+            _, self.dcaches = self._draft_prefill(
+                self.draft_params, self.dcaches, jnp.asarray(toks),
+                jnp.int32(slot_id), jnp.int32(slot.pos), jnp.int32(n - 1))
+            self.dcaches = self._set_len(self.dcaches, jnp.int32(slot_id),
+                                         jnp.int32(true_len))
         slot.pos = true_len
         slot.pending = slot.pending[n:]
         self.prefill_tokens += n
@@ -430,6 +485,9 @@ class Engine:
         if not active and not busy and not self.waiting:
             return False
         if not active:
+            return True
+        if self.dcaches is not None and self._spec_ok(active):
+            self._spec_step(active)
             return True
         chunk = self.decode_chunk
         tokens = np.zeros((self.max_seqs,), np.int32)
@@ -503,6 +561,90 @@ class Engine:
                     time.time() - self._t_submit[s.req.req_id])
                 self._emit(i, int(toks[j, i]))
         return True
+
+    # ---------------- speculative decode phase ----------------
+
+    def _spec_ok(self, active) -> bool:
+        """Spec rounds preserve greedy/temperature sampling only; any
+        active top-k/top-p request falls back to normal decode chunks."""
+        for i in active:
+            sp = self.slots[i].req.sampling
+            if (sp.top_k and sp.top_k > 0) or sp.top_p < 1.0:
+                return False
+        return True
+
+    def _spec_step(self, active) -> None:
+        """One dispatch of spec_rounds draft/verify rounds for all slots."""
+        from .speculative import SpecState
+        worst = self.spec_rounds * (self.spec_gamma + 1)
+        prev = np.zeros((self.max_seqs,), np.int32)
+        cur = np.zeros((self.max_seqs,), np.int32)
+        positions = np.ones((self.max_seqs,), np.int32)
+        seq_ids = np.full((self.max_seqs,), self.max_seqs, np.int32)
+        for i in list(active):
+            s = self.slots[i]
+            while True:
+                try:
+                    self._ensure_pages(i, s.pos + worst + 1)
+                    break
+                except RuntimeError:
+                    victims = [j for j, t in enumerate(self.slots)
+                               if t.req is not None and j != i]
+                    if not victims:
+                        raise RuntimeError(
+                            "KV pool too small for a single sequence")
+                    v = min(victims,
+                            key=lambda j: len(self.slots[j].req.output))
+                    self._preempt(v)
+                    if self.slots[i].req is None:
+                        break
+            if not s.ready:
+                continue
+            seq_ids[i] = i
+            cur[i] = s.req.output[-1]
+            prev[i] = (s.req.output[-2] if len(s.req.output) >= 2
+                       else s.req.prompt[-1])
+            positions[i] = s.pos
+        temps = np.zeros((self.max_seqs,), np.float32)
+        for i, s in enumerate(self.slots):
+            if s.req is not None:
+                temps[i] = s.req.sampling.temperature
+        self._sample_step += 1
+        state = SpecState(prev=jnp.asarray(prev), cur=jnp.asarray(cur),
+                          positions=jnp.asarray(positions))
+        emitted, n_emitted, _, self.caches, self.dcaches = \
+            self._spec_multi(
+                self.params, self.draft_params, self.caches, self.dcaches,
+                state, jnp.asarray(seq_ids),
+                jax.random.fold_in(self._base_key, self._sample_step),
+                jnp.asarray(temps))
+        emitted = np.asarray(emitted)            # (rounds, B, gamma+1)
+        n_emitted = np.asarray(n_emitted)        # (rounds, B)
+        for r in range(emitted.shape[0]):
+            for i in list(active):
+                if not self.slots[i].ready:
+                    continue
+                n = int(n_emitted[r, i])
+                self.spec_proposed += self.spec_gamma
+                self.spec_accepted += n - 1
+                for t in emitted[r, i, :n]:
+                    # _emit may release the slot (eos/max_new_tokens);
+                    # re-check the LIVE slot object, not a stale binding
+                    if not self.slots[i].ready:
+                        break
+                    self.slots[i].pos += 1
+                    self.decode_tokens += 1
+                    self._emit(i, int(t))
+        # device-side lengths ran ahead for finished/truncated slots; the
+        # per-slot true lengths are authoritative
+        live = [i for i in active if self.slots[i].ready]
+        if live:
+            self.caches = self._set_len_many(
+                self.caches, jnp.asarray(live, jnp.int32),
+                jnp.asarray([self.slots[i].pos for i in live], jnp.int32))
+            self.dcaches = self._set_len_many(
+                self.dcaches, jnp.asarray(live, jnp.int32),
+                jnp.asarray([self.slots[i].pos for i in live], jnp.int32))
 
     def run(self, requests: List[Request]) -> List[Request]:
         for r in requests:
