@@ -42,3 +42,9 @@ def test_bench_quick(mod):
 def test_bench_e2e_quick():
     recs = _run("bench_e2e", ["--quick"])
     assert recs[0]["decode_tokens"] > 0
+
+
+def test_bench_speculative_quick():
+    recs = _run("bench_speculative", ["--quick", "--baseline"])
+    assert recs[0]["decode_tokens"] > 0
+    assert 0.0 <= recs[0]["acceptance"] <= 1.0
