@@ -185,6 +185,10 @@ def cmd_serve(args) -> None:
         "wall_s": round(dt, 3),
         "decode_tokens_per_s": round(eng.decode_tokens / dt, 2),
         "mean_ttft_ms": round(1e3 * float(np.mean(ttfts)), 2),
+        # host wall seconds per engine phase ("mixed" = piggybacked
+        # prefill+decode dispatches); the --profile trace has the
+        # device-side view, this is the scheduler-side breakdown
+        "phase_s": {k: round(v, 3) for k, v in eng.phase_s.items() if v},
     }))
 
 

@@ -12,6 +12,7 @@ admitted between decode steps with length bucketing to bound compile count.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import time
 from typing import Any, Dict, List, Optional
@@ -24,7 +25,8 @@ import jax.numpy as jnp
 from ..models.common import ModelConfig
 from .block_manager import BlockManager
 from .kv_cache import PagedKVCache, make_cache
-from .runner import decode_multi, decode_step, prefill, prefill_batch
+from .runner import (decode_multi, decode_step, prefill, prefill_batch,
+                     prefill_decode)
 from .sampling import SamplingParams, pick_sample_mode, sample_batch
 
 
@@ -78,7 +80,8 @@ class Engine:
                  decode_chunk: int = 8, prefill_chunk: Optional[int] = None,
                  seed: int = 0, step_fns=None, cache_sharding=None,
                  draft_params=None, draft_cfg: Optional[ModelConfig] = None,
-                 spec_gamma: int = 4, spec_rounds: Optional[int] = None):
+                 spec_gamma: int = 4, spec_rounds: Optional[int] = None,
+                 piggyback: bool = True):
         self.params = params
         self.cfg = cfg
         self.max_seqs = max_seqs
@@ -161,6 +164,12 @@ class Engine:
                 dataclasses.replace(c, lengths=c.lengths.at[slots].set(ns))
                 for c in cs
             ])
+        # prefill/decode piggybacking: under mixed load, fold ONE pending
+        # slot's prefill chunk (+ its length fixup and first-token sample)
+        # into the decode dispatch — 3 dispatches -> 1 on the tunnel.
+        # Single-chip only (a TP analog would need a shard-mapped program).
+        self._piggyback_ok = piggyback and step_fns is None
+        self._piggyback_cache: Dict[Any, Any] = {}
         # multi-slot fresh prefill: one dispatch for all waiting prompts
         # that fit one bucket
         self._can_batch_prefill = (step_fns is None
@@ -202,6 +211,7 @@ class Engine:
             ]
             self.prefill_chunk = self.buckets[-1]  # single-shot prefill
             self._can_batch_prefill = False
+            self._piggyback_ok = False  # draft cache must mirror prefill
             self._draft_prefill = jax.jit(
                 lambda p, c, t, sid, sp, li: prefill(p, dcfg, c, t, sid,
                                                      sp, li))
@@ -215,11 +225,23 @@ class Engine:
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0
+        # host wall seconds per engine phase (serve --profile breakdown);
+        # includes device blocking only where the phase itself fetches
+        self.phase_s = {"prefill": 0.0, "decode": 0.0, "mixed": 0.0,
+                        "spec": 0.0}
         self.preemptions = 0
         self.spec_accepted = 0
         self.spec_proposed = 0
         self.ttft: Dict[int, float] = {}
         self._t_submit: Dict[int, float] = {}
+
+    @contextlib.contextmanager
+    def _phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.phase_s[name] += time.perf_counter() - t0
 
     def _sampler_for(self, mode: str):
         if mode not in self._sampler_cache:
@@ -318,6 +340,88 @@ class Engine:
                     lambda p, c, t, sid, sp, li, h=key: prefill(
                         p, cfg, c, t, sid, sp, li, hist_len=h))
         return self._prefill_cache[key]
+
+    def _piggyback_for(self, hist_key: int, mode: str):
+        key = (hist_key, mode)
+        if key not in self._piggyback_cache:
+            cfg = self.cfg
+            n_steps = self.decode_chunk
+            self._piggyback_cache[key] = jax.jit(
+                lambda p, c, pt, psid, psp, pli, ptl, ptemp, pk, pp,
+                dt, dsid, dpos, key_, step, tt, kk, tp, h=hist_key, m=mode:
+                prefill_decode(
+                    p, cfg, c, pt, psid, psp, pli, ptl, ptemp, pk, pp,
+                    dt, dsid, dpos, jax.random.fold_in(key_, step),
+                    tt, kk, tp, hist_len=h, n_steps=n_steps,
+                    sample_mode=m))
+        return self._piggyback_cache[key]
+
+    def _pick_piggy(self, handled: set) -> Optional[int]:
+        """Choose one pending slot to fold into this step's decode dispatch.
+
+        Requires at least one OTHER slot already decoding (else there is
+        nothing to piggyback on and the plain prefill path is cheaper to
+        compile).  Pages are reserved here; on pool exhaustion fall back to
+        the per-slot prefill path, which owns the stall/preempt logic.
+        """
+        if not any(s.ready for s in self.slots):
+            return None
+        for i, s in enumerate(self.slots):
+            if i in handled or s.req is None or not s.pending:
+                continue
+            bucket = self._bucket(len(s.pending[:self.prefill_chunk]))
+            try:
+                self._ensure_pages(i, s.pos + bucket)
+            except RuntimeError:
+                return None
+            return i
+        return None
+
+    def _piggy_decode(self, piggy: int, tokens, seq_ids,
+                      positions) -> np.ndarray:
+        """One dispatch: piggy slot's prefill chunk + everyone's decode."""
+        slot = self.slots[piggy]
+        pchunk = slot.pending[:self.prefill_chunk]
+        n = len(pchunk)
+        bucket = self._bucket(n)
+        hist = slot.pos
+        hist_gather = -(-hist // self.page_size) * self.page_size \
+            if hist else 0
+        hist_key = hist_gather if (
+            hist_gather == 0 or jax.default_backend() == "cpu") else -1
+        ptoks = np.zeros((1, bucket), np.int32)
+        ptoks[0, :n] = pchunk
+        t = np.zeros((self.max_seqs,), np.float32)
+        k = np.zeros((self.max_seqs,), np.int32)
+        p = np.ones((self.max_seqs,), np.float32)
+        for i, s in enumerate(self.slots):
+            if s.req is not None:
+                t[i] = s.req.sampling.temperature
+                k[i] = s.req.sampling.top_k
+                p[i] = s.req.sampling.top_p
+        mode = pick_sample_mode(
+            [s.req.sampling for s in self.slots if s.req is not None])
+        sp = slot.req.sampling
+        self._sample_step += 1
+        ptok, toks_dev, self.caches = self._piggyback_for(hist_key, mode)(
+            self.params, self.caches, jnp.asarray(ptoks), jnp.int32(piggy),
+            jnp.int32(hist), jnp.int32(n - 1), jnp.int32(hist + n),
+            jnp.asarray([sp.temperature], np.float32),
+            jnp.asarray([sp.top_k], np.int32),
+            jnp.asarray([sp.top_p], np.float32),
+            jnp.asarray(tokens), jnp.asarray(seq_ids),
+            jnp.asarray(positions), self._base_key,
+            jnp.int32(self._sample_step), jnp.asarray(t), jnp.asarray(k),
+            jnp.asarray(p))
+        slot.pos = hist + n
+        slot.pending = slot.pending[n:]
+        self.prefill_tokens += n
+        if not slot.pending:
+            self.ttft.setdefault(
+                slot.req.req_id,
+                time.time() - self._t_submit[slot.req.req_id])
+            self._emit(piggy, int(np.asarray(ptok)[0]))
+        return np.asarray(toks_dev)
 
     def _prefill_batch_for(self, bucket: int):
         if bucket not in self._prefill_batch_cache:
@@ -470,15 +574,21 @@ class Engine:
     def step(self) -> bool:
         """Admit, drive pending prefill chunks, one decode chunk."""
         self._admit()
-        handled = (self._prefill_batch_pass()
-                   if self._can_batch_prefill else set())
+        with self._phase("prefill"):
+            handled = (self._prefill_batch_pass()
+                       if self._can_batch_prefill else set())
+        # piggybacking: ONE pending slot's next chunk rides the decode
+        # dispatch below instead of its own (3 dispatches -> 1)
+        piggy = self._pick_piggy(handled) if self._piggyback_ok else None
         # one prefill chunk per remaining pending slot per step: decode of
         # running sequences is never starved more than one chunk's latency
         for i, s in enumerate(self.slots):
-            if i in handled:
+            if i in handled or i == piggy:
                 continue
             if s.req is not None and s.pending:
-                if not self._prefill_step(i):
+                with self._phase("prefill"):
+                    ok = self._prefill_step(i)
+                if not ok:
                     break  # page stall; retry next step
         active = [i for i, s in enumerate(self.slots) if s.ready]
         busy = any(s.req is not None for s in self.slots)
@@ -487,7 +597,8 @@ class Engine:
         if not active:
             return True
         if self.dcaches is not None and self._spec_ok(active):
-            self._spec_step(active)
+            with self._phase("spec"):
+                self._spec_step(active)
             return True
         chunk = self.decode_chunk
         tokens = np.zeros((self.max_seqs,), np.int32)
@@ -524,12 +635,19 @@ class Engine:
                 tokens[i] = last
                 positions[i] = s.pos
         # inactive slots write to scratch page 0 at positions 0..chunk-1
-        if chunk == 1:
-            logits, self.caches = self._decode(
-                self.params, self.caches, jnp.asarray(tokens),
-                jnp.asarray(seq_ids), jnp.asarray(positions))
-            toks = self._sample_rows(logits,
-                                     [s.req for s in self.slots])[None, :]
+        piggy_live = (piggy is not None
+                      and self.slots[piggy].req is not None
+                      and self.slots[piggy].pending)
+        if piggy_live:
+            with self._phase("mixed"):
+                toks = self._piggy_decode(piggy, tokens, seq_ids, positions)
+        elif chunk == 1:
+            with self._phase("decode"):
+                logits, self.caches = self._decode(
+                    self.params, self.caches, jnp.asarray(tokens),
+                    jnp.asarray(seq_ids), jnp.asarray(positions))
+                toks = self._sample_rows(
+                    logits, [s.req for s in self.slots])[None, :]
         else:
             t = np.zeros((self.max_seqs,), np.float32)
             k = np.zeros((self.max_seqs,), np.int32)
@@ -542,13 +660,14 @@ class Engine:
             self._sample_step += 1
             mode = pick_sample_mode(
                 [s.req.sampling for s in self.slots if s.req is not None])
-            toks_dev, self.caches = self._decode_multi_for(mode)(
-                self.params, self.caches, jnp.asarray(tokens),
-                jnp.asarray(seq_ids), jnp.asarray(positions),
-                self._base_key,
-                jnp.int32(self._sample_step), jnp.asarray(t),
-                jnp.asarray(k), jnp.asarray(p))
-            toks = np.asarray(toks_dev)                  # (chunk, B)
+            with self._phase("decode"):
+                toks_dev, self.caches = self._decode_multi_for(mode)(
+                    self.params, self.caches, jnp.asarray(tokens),
+                    jnp.asarray(seq_ids), jnp.asarray(positions),
+                    self._base_key,
+                    jnp.int32(self._sample_step), jnp.asarray(t),
+                    jnp.asarray(k), jnp.asarray(p))
+                toks = np.asarray(toks_dev)              # (chunk, B)
         for j in range(toks.shape[0]):
             for i in active:
                 s = self.slots[i]

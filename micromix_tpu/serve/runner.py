@@ -247,6 +247,49 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
     return out, caches
 
 
+def prefill_decode(params: Params, cfg: ModelConfig, caches: Caches,
+                   ptokens: jnp.ndarray, pseq_id: jnp.ndarray,
+                   pstart: jnp.ndarray, plast: jnp.ndarray,
+                   ptrue_len: jnp.ndarray, ptemp: jnp.ndarray,
+                   ptop_k: jnp.ndarray, ptop_p: jnp.ndarray,
+                   dtokens: jnp.ndarray, dseq_ids: jnp.ndarray,
+                   dpositions: jnp.ndarray, key: jax.Array,
+                   temps: jnp.ndarray, top_k: jnp.ndarray,
+                   top_p: jnp.ndarray, *, hist_len: int, n_steps: int,
+                   sample_mode: str = "full"
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Caches]:
+    """PIGGYBACKED step: one slot's prefill chunk + a decode chunk for the
+    other slots in ONE program.
+
+    On the axon tunnel every dispatch+fetch costs ~35 ms; under mixed load
+    the engine previously paid three per step (prefill chunk, true-length
+    fixup, decode chunk).  This folds all three — plus the prefill slot's
+    first-token sample — into the decode dispatch.  The prefill slot and
+    the decode slots are distinct sequences (the engine points mid-prefill
+    slots at the scratch row in ``dseq_ids``), so ordering within the
+    program does not change numerics vs the separate dispatches.
+
+    Returns (prefill first-token (1,) int32, decode tokens (n_steps, B),
+    updated caches).
+    """
+    import dataclasses as _dc
+
+    from .sampling import sample_batch
+
+    plogits, caches = prefill(params, cfg, caches, ptokens, pseq_id,
+                              pstart, plast, hist_len=hist_len)
+    # bucket padding over-wrote lengths; restore the true count in-graph
+    caches = [_dc.replace(c, lengths=c.lengths.at[pseq_id].set(ptrue_len))
+              for c in caches]
+    # fold value n_steps is disjoint from the decode scan's 0..n_steps-1
+    ptok = sample_batch(plogits, jax.random.fold_in(key, n_steps),
+                        ptemp, ptop_k, ptop_p, mode=sample_mode)
+    dtoks, caches = decode_multi(params, cfg, caches, dtokens, dseq_ids,
+                                 dpositions, key, temps, top_k, top_p,
+                                 n_steps=n_steps, sample_mode=sample_mode)
+    return ptok, dtoks, caches
+
+
 def _rope_angles(positions: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     from ..models.common import rope_inv_freq
     inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)

@@ -375,3 +375,29 @@ def test_router_spreads_and_matches_single_engine(rng):
         r = Request(req_id=0, prompt=list(p), max_new_tokens=4)
         solo.run([r])
         assert r.output == reqs[i].output, f"request {i} diverged"
+
+
+def test_piggybacked_prefill_matches_plain(rng):
+    """Folding a prefill chunk into the decode dispatch (prefill_decode)
+    must not change any emitted token vs the separate-dispatch path."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=33)
+    pa = list(rng.integers(0, cfg.vocab_size, 10))
+    pb = list(rng.integers(0, cfg.vocab_size, 40))  # 3 chunks at chunk=16
+    outs = {}
+    for piggy in (True, False):
+        eng = Engine(params, cfg, max_seqs=2, page_size=16,
+                     max_pages_per_seq=8, prefill_buckets=(16, 32),
+                     prefill_chunk=16, decode_chunk=2, piggyback=piggy)
+        ra = Request(req_id=0, prompt=pa, max_new_tokens=8)
+        eng.submit(ra)
+        eng.step()  # A prefills and starts decoding
+        rb = Request(req_id=1, prompt=pb, max_new_tokens=8)
+        eng.submit(rb)
+        while eng.step():
+            pass
+        outs[piggy] = (list(ra.output), list(rb.output))
+        if piggy:
+            assert eng._piggyback_cache, "fused path never dispatched"
+    assert outs[True] == outs[False]
+    assert len(outs[True][0]) == 8 and len(outs[True][1]) == 8
