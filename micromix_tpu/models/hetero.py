@@ -139,8 +139,16 @@ def quantize_layer_hetero(p: Dict[str, Any], cfg: ModelConfig,
     out["o_site"] = make_fakequant_site(c_o, odim)
     out["o"] = quantize_linear_hetero(p["o"].w, c_o, bias=p["o"].bias)
 
-    assert not cfg.is_moe, \
-        "MoE uses expert parallelism (parallel.moe_ep), not PP stacking"
+    if cfg.is_moe:
+        out["router"] = p["router"]  # stays bf16 (qMixtralLayer.py:385)
+        out["experts"] = [
+            quantize_expert_hetero(
+                ep, cfg,
+                calib[f"expert{e}_{MLP_IN}"],
+                calib[f"expert{e}_{DOWN_IN}"])
+            for e, ep in enumerate(p["experts"])
+        ]
+        return out
     c_mlp = calib[MLP_IN]
     c_dn = calib[DOWN_IN]
     out["mlp_site"] = make_fakequant_site(c_mlp, hid)
@@ -156,6 +164,31 @@ def quantize_layer_hetero(p: Dict[str, Any], cfg: ModelConfig,
     out["down"] = quantize_linear_hetero(p["down"].w, c_dn,
                                          bias=p["down"].bias)
     return out
+
+
+def quantize_expert_hetero(ep: Dict[str, Any], cfg: ModelConfig,
+                           c_in: SiteCalibration,
+                           c_dn: SiteCalibration) -> Dict[str, Any]:
+    """One Mixtral expert -> uniform-shape hetero representation.
+
+    Every leaf shape and static is budget-independent, so experts with
+    DIFFERENT per-expert (k4, k6, k8) stack into (E, ...) arrays for
+    expert parallelism (parallel/moe_ep.stack_hetero_experts) — the
+    segmented representation requires uniform budgets there.  Mirrors the
+    non-hetero expert surgery (surgery.quantize_layer MoE branch): w1/w3
+    rows carry the down-input canonical sort so site_down needs no perm.
+    """
+    rp = np.asarray(c_dn.reorder_index, np.int32)
+    return {
+        "site_in": make_fakequant_site(c_in, cfg.hidden_size),
+        "site_down": FakeQuantSite(
+            perm=None, block_fmt=_block_fmt(c_dn, cfg.intermediate_size)),
+        "w1": quantize_linear_hetero(ep["w1"].w, c_in, bias=ep["w1"].bias,
+                                     row_perm=rp),
+        "w3": quantize_linear_hetero(ep["w3"].w, c_in, bias=ep["w3"].bias,
+                                     row_perm=rp),
+        "w2": quantize_linear_hetero(ep["w2"].w, c_dn, bias=ep["w2"].bias),
+    }
 
 
 def quantize_model_hetero(params: Dict[str, Any], cfg: ModelConfig,
@@ -179,5 +212,5 @@ def quantize_model_hetero(params: Dict[str, Any], cfg: ModelConfig,
 __all__ = [
     "FakeQuantSite", "fakequant_site", "make_fakequant_site",
     "quantize_linear_hetero", "quantize_layer_hetero",
-    "quantize_model_hetero",
+    "quantize_expert_hetero", "quantize_model_hetero",
 ]

@@ -111,10 +111,16 @@ def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
 def _silu_mul_q(g, u, ep):
     """Expert down-input quantize: fakequant-direct for ScaledW8 w2."""
     from ..mx.scaledw8 import ScaledW8
+    from .hetero import FakeQuantSite, fakequant_site
+    site = ep["site_down"]
+    if isinstance(site, FakeQuantSite):
+        # heterogeneous-budget expert (models/hetero.py): budgets are data
+        act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32))
+        return fakequant_site(act, site)
     if isinstance(ep["w2"].w, ScaledW8):
         from ..ops.quantize_ops import silu_mul_fakequant_x
-        return silu_mul_fakequant_x(g, u, *ep["site_down"].splits)
-    return silu_mul_quantize_x(g, u, *ep["site_down"].splits)
+        return silu_mul_fakequant_x(g, u, *site.splits)
+    return silu_mul_quantize_x(g, u, *site.splits)
 
 
 def moe_capacity(cfg: ModelConfig, t: int) -> int:

@@ -174,3 +174,87 @@ def ep_moe_forward_quant(x: jnp.ndarray, ln2: jnp.ndarray,
     )
     return mapped(x, ln2, router.w, stacked["perm_in"],
                   stacked["w1"], stacked["w3"], stacked["w2"])
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous-budget expert parallelism (models/hetero.py representation):
+# per-expert budgets are DATA (FakeQuantSite arrays + canonical ScaledW8
+# codes), so experts with different (k4, k6, k8) stack and shard — the
+# segmented form above requires uniform budgets.
+# ---------------------------------------------------------------------------
+
+
+def stack_hetero_experts(experts: List[Dict[str, Any]]):
+    """[quantize_expert_hetero outputs] -> one (E, ...)-leading pytree.
+
+    Leaf shapes are budget-independent by construction, so any per-expert
+    budget mix stacks; statics (ScaledW8 k4 = K) are uniform too.
+    """
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *experts)
+
+
+def ep_moe_forward_hetero(x: jnp.ndarray, ln2: jnp.ndarray,
+                          router: DenseLinear, stacked, cfg: ModelConfig,
+                          mesh: Mesh) -> jnp.ndarray:
+    """Hetero-budget MoE FFN sub-block, experts sharded over 'expert'.
+
+    Same structure as ep_moe_forward_quant; quantization runs as
+    fakequant straight to the bf16 grid image per expert (what the
+    canonical ScaledW8 matmul consumes), selecting each 32-block's format
+    from the expert's own block_fmt data.
+    """
+    from ..models.hetero import fakequant_site
+
+    ep = mesh.shape["expert"]
+    assert cfg.num_experts % ep == 0
+
+    def local(x, ln2, router_w, experts):
+        el = experts["site_in"].block_fmt.shape[0]
+        xn = rmsnorm(x, ln2, cfg.rms_eps)
+        logits = jnp.dot(xn, router_w.T, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1)
+        top_w, top_i = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+        top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+        weights = jnp.einsum(
+            "tk,tke->te", top_w,
+            jax.nn.one_hot(top_i, cfg.num_experts, dtype=probs.dtype))
+        e_off = jax.lax.axis_index("expert") * el
+
+        def expert_ffn(i, xg):
+            exp = jax.tree.map(lambda a: a[i], experts)
+            qa = fakequant_site(xg, exp["site_in"])
+            g = exp["w1"](qa)
+            u = exp["w3"](qa)
+            act = (jax.nn.silu(g.astype(jnp.float32))
+                   * u.astype(jnp.float32))
+            return exp["w2"](fakequant_site(act, exp["site_down"]))
+
+        if cfg.moe_capacity_factor is not None:
+            from ..models.transformer import capacity_dispatch, moe_capacity
+            cap = moe_capacity(cfg, xn.shape[0])
+            idx, gate = capacity_dispatch(weights, cap)
+            xn_pad = jnp.concatenate(
+                [xn, jnp.zeros((1, xn.shape[-1]), xn.dtype)], axis=0)
+            out = jnp.zeros((xn.shape[0] + 1, x.shape[-1]), jnp.float32)
+            for i in range(el):
+                rows = jax.lax.dynamic_index_in_dim(idx, e_off + i, 0,
+                                                    keepdims=False)
+                gates = jax.lax.dynamic_index_in_dim(gate, e_off + i, 0,
+                                                     keepdims=False)
+                ye = expert_ffn(i, xn_pad[rows])
+                out = out.at[rows].add(
+                    ye.astype(jnp.float32) * gates[:, None])
+            return jax.lax.psum(out[:-1], "expert").astype(jnp.bfloat16)
+        out = jnp.zeros((xn.shape[0], x.shape[-1]), jnp.float32)
+        for i in range(el):
+            ye = expert_ffn(i, xn)
+            out = out + ye.astype(jnp.float32) * weights[:, e_off + i][:, None]
+        return jax.lax.psum(out, "expert").astype(jnp.bfloat16)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("expert")),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return mapped(x, ln2, router.w, stacked)

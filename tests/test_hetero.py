@@ -108,3 +108,67 @@ def test_pp_stacks_heterogeneous_budgets(rng):
     np.testing.assert_allclose(np.asarray(out2, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=0.3, atol=0.3)
+
+
+def _moe_cfg(capacity=None):
+    return ModelConfig(arch="mixtral", vocab_size=64, hidden_size=128,
+                       intermediate_size=256, num_layers=1, num_heads=4,
+                       num_kv_heads=4, head_dim=32, rope_theta=10000.0,
+                       rms_eps=1e-6, num_experts=4, num_experts_per_tok=2,
+                       moe_capacity_factor=capacity)
+
+
+def _expert_hetero_calibs(cfg, seed=5):
+    """Per-EXPERT different budgets (what stack_quant_experts rejects)."""
+    base = default_calibration(cfg, p6=0, p8=0, seed=seed)
+    budgets = [(0, 0), (32, 32), (64, 32), (32, 64)]
+    for c in base:
+        for e in range(cfg.num_experts):
+            p6, p8 = budgets[e % len(budgets)]
+            for key in (f"expert{e}_{MLP_IN}", f"expert{e}_{DOWN_IN}"):
+                c[key] = SiteCalibration(c[key].reorder_index, p6, p8)
+    return base
+
+
+def test_hetero_moe_forward_close_to_segmented(rng):
+    """Mixtral hetero representation vs segmented, same calibration."""
+    cfg = _moe_cfg()
+    dense = random_dense_params(cfg, seed=11)
+    calibs = default_calibration(cfg, p6=32, p8=32, seed=6)
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 16)), jnp.int32)
+    std = forward(quantize_model(dense, cfg, calibs), cfg, toks,
+                  use_flash=False)
+    het = forward(quantize_model_hetero(dense, cfg, calibs), cfg, toks,
+                  use_flash=False)
+    np.testing.assert_allclose(np.asarray(het, np.float32),
+                               np.asarray(std, np.float32),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("capacity", [None, 1.5])
+def test_hetero_expert_parallel_matches_single_device(rng, capacity):
+    """EP over experts with DIFFERENT per-expert budgets — the TP/EP half
+    of the round-1 hetero capability gap (TODO 11).  Sharded == local."""
+    from micromix_tpu.parallel import make_mesh
+    from micromix_tpu.parallel.moe_ep import (
+        ep_moe_forward_hetero, stack_hetero_experts)
+    from micromix_tpu.models.transformer import moe_block
+
+    cfg = _moe_cfg(capacity)
+    dense = random_dense_params(cfg, seed=12)
+    calibs = _expert_hetero_calibs(cfg)
+    het = quantize_model_hetero(dense, cfg, calibs)
+    layer = het["layers"][0]
+    stacked = stack_hetero_experts(layer["experts"])
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 16, cfg.hidden_size)), jnp.bfloat16)
+    ref = moe_block(x, layer, cfg)
+    for ep in (2, 4):
+        mesh = make_mesh(expert=ep, devices=jax.devices()[:ep])
+        got = ep_moe_forward_hetero(
+            x.reshape(-1, cfg.hidden_size), layer["ln2"], layer["router"],
+            stacked, cfg, mesh)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32),
+            np.asarray(ref.reshape(-1, cfg.hidden_size), np.float32),
+            rtol=3e-2, atol=3e-2)
