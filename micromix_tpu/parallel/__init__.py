@@ -13,8 +13,9 @@ from .spmd import (
     shard_quantized_params,
     tp_validate_config,
 )
-from .moe_ep import (ep_moe_forward, ep_moe_forward_quant,
-                     stack_dense_experts, stack_quant_experts)
+from .moe_ep import (ep_moe_forward, ep_moe_forward_hetero,
+                     ep_moe_forward_quant, stack_dense_experts,
+                     stack_hetero_experts, stack_quant_experts)
 from .pp import make_pp_mesh, pipeline_parallel_forward, stack_layers
 from .sp import sequence_parallel_forward
 from .tp_quant import (
@@ -23,13 +24,22 @@ from .tp_quant import (
     sharded_forward_tp,
     split_site_calibration,
 )
+from .tp_hetero import (
+    quantize_model_tp_hetero,
+    shard_params_tp_hetero,
+    sharded_forward_tp_hetero,
+    split_site_calibration_hetero,
+)
 
 __all__ = [
     "make_mesh", "sharded_quantized_forward", "shard_quantized_params",
     "tp_validate_config", "ep_moe_forward", "stack_dense_experts",
     "ep_moe_forward_quant", "stack_quant_experts",
+    "ep_moe_forward_hetero", "stack_hetero_experts",
     "pipeline_parallel_forward", "make_pp_mesh", "stack_layers",
     "sequence_parallel_forward",
     "quantize_model_tp", "shard_params_tp", "sharded_forward_tp",
     "split_site_calibration",
+    "quantize_model_tp_hetero", "shard_params_tp_hetero",
+    "sharded_forward_tp_hetero", "split_site_calibration_hetero",
 ]

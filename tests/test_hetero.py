@@ -172,3 +172,46 @@ def test_hetero_expert_parallel_matches_single_device(rng, capacity):
             np.asarray(got, np.float32),
             np.asarray(ref.reshape(-1, cfg.hidden_size), np.float32),
             rtol=3e-2, atol=3e-2)
+
+
+def test_engine_serves_hetero_model(rng):
+    """The serving engine runs a heterogeneous-budget model end to end:
+    project_all / mlp_block dispatch on FakeQuantSite, so prefill and the
+    paged decode path work unchanged on hetero params."""
+    from micromix_tpu.serve import Engine, Request
+
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=21)
+    het = quantize_model_hetero(dense, cfg, _hetero_calibs(cfg))
+    prompt = list(rng.integers(0, cfg.vocab_size, 12))
+    eng = Engine(het, cfg, max_seqs=2, page_size=16, max_pages_per_seq=8,
+                 prefill_buckets=(16, 32))
+    reqs = [Request(req_id=i, prompt=prompt, max_new_tokens=4)
+            for i in range(2)]
+    eng.run(reqs)
+    for r in reqs:
+        assert len(r.output) == 4
+    # both slots saw the same prompt -> identical greedy streams
+    assert reqs[0].output == reqs[1].output
+    # prefill logits track the (jitted) full forward; argmax equality is
+    # too fragile on a random model (eager/compiled fakequant decision
+    # flips move near-tied top logits), so lock at the logit level
+    import dataclasses
+    from micromix_tpu.serve.kv_cache import make_cache
+    from micromix_tpu.serve.runner import prefill
+    caches = [make_cache(17, 16, cfg.num_kv_heads, cfg.head_dim, 2, 8,
+                         bits=4) for _ in range(cfg.num_layers)]
+    row = jnp.asarray([1, 2, 0, 0, 0, 0, 0, 0], jnp.int32)
+    caches = [dataclasses.replace(c, page_table=c.page_table.at[0].set(row))
+              for c in caches]
+    toks = np.zeros((1, 16), np.int32)
+    toks[0, :12] = prompt
+    lg, _ = jax.jit(lambda p_, t: prefill(p_, cfg, caches, t, jnp.int32(0),
+                                          jnp.int32(0), jnp.int32(11)))(
+        het, jnp.asarray(toks))
+    ref = jax.jit(lambda p_, t: forward(p_, cfg, t, use_flash=False))(
+        het, jnp.asarray([prompt], jnp.int32))
+    a = np.asarray(lg[0], np.float32)
+    b = np.asarray(ref[0, -1], np.float32)
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+    np.testing.assert_allclose(a, b, atol=0.2, rtol=0.1)
