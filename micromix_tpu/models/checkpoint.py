@@ -30,6 +30,7 @@ from ..mx.mxtensor import MixedTensor
 from ..mx.scaledw8 import ScaledW8
 from .common import (DenseLinear, Int8TurboLinear, ModelConfig,
                      QuantLinear, QuantSite, WeightOnlyLinear)
+from .hetero import FakeQuantSite
 
 FORMAT_VERSION = 1
 
@@ -45,6 +46,7 @@ _NODE_TYPES = {
     "WeightOnlyLinear": (WeightOnlyLinear, ("w", "bias"), ()),
     "DenseLinear": (DenseLinear, ("w", "bias"), ()),
     "QuantSite": (QuantSite, ("perm",), ("k4", "k6", "k8")),
+    "FakeQuantSite": (FakeQuantSite, ("perm", "block_fmt"), ()),
 }
 _BY_CLASS = {cls: name for name, (cls, _, _) in _NODE_TYPES.items()}
 

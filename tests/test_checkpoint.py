@@ -74,3 +74,23 @@ def test_async_orbax_roundtrip(tmp_path, rng):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_roundtrip_hetero_model(tmp_path, rng):
+    """Hetero-budget pytrees (FakeQuantSite leaves) bake and restore."""
+    from micromix_tpu.models.checkpoint import load_params, save_params
+    from micromix_tpu.models.hetero import quantize_model_hetero
+    from micromix_tpu.models.surgery import default_calibration
+
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=31)
+    het = quantize_model_hetero(dense, cfg,
+                                default_calibration(cfg, p6=32, p8=32,
+                                                    seed=2))
+    save_params(str(tmp_path / "ck"), het, cfg)
+    loaded, cfg2, _ = load_params(str(tmp_path / "ck"))
+    assert cfg2 == cfg
+    toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 12)), jnp.int32)
+    a = forward(het, cfg, toks, use_flash=False)
+    b = forward(loaded, cfg, toks, use_flash=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
