@@ -55,6 +55,11 @@ def _quantize(params, cfg, args):
     if args.smooth and absmax:
         stats = {k: {"absmax": v} for k, v in absmax.items()}
         params = smooth_params(params, cfg, stats, alpha=args.alpha)
+    if getattr(args, "hetero", False):
+        # budgets-as-data representation (models/hetero.py): stackable /
+        # shardable under pp/tp/ep regardless of per-layer budgets
+        from .models.hetero import quantize_model_hetero
+        return quantize_model_hetero(params, cfg, calibs)
     return quantize_model(params, cfg, calibs,
                           weight_fp4_only=not args.symmetric_weights)
 
@@ -213,6 +218,9 @@ def main(argv=None) -> None:
     q.add_argument("--no-smooth", dest="smooth", action="store_false")
     q.add_argument("--alpha", type=float, default=0.5)
     q.add_argument("--symmetric-weights", action="store_true")
+    q.add_argument("--hetero", action="store_true",
+                   help="budgets-as-data hetero representation "
+                        "(stackable/shardable under pp/tp/ep)")
     q.add_argument("--int8-turbo", action="store_true",
                    help="W8A8 int8 on the s8 MXU (out-of-spec speed mode, "
                         "not MicroMix numerics)")
@@ -235,6 +243,9 @@ def main(argv=None) -> None:
     e.add_argument("--alpha", type=float, default=0.5)
     e.add_argument("--symmetric-weights", action="store_true",
                    help="W4/6/8 per segment instead of all-MXFP4 weights")
+    e.add_argument("--hetero", action="store_true",
+                   help="budgets-as-data hetero representation "
+                        "(stackable/shardable under pp/tp/ep)")
     e.add_argument("--eval-ppl", default="", help="comma list: wikitext2,ptb,c4")
     e.add_argument("--tasks", default="", help="lm-eval task list")
     e.add_argument("--num-fewshot", type=int, default=0)
@@ -254,6 +265,9 @@ def main(argv=None) -> None:
     s.add_argument("--no-smooth", dest="smooth", action="store_false")
     s.add_argument("--alpha", type=float, default=0.5)
     s.add_argument("--symmetric-weights", action="store_true")
+    s.add_argument("--hetero", action="store_true",
+                   help="budgets-as-data hetero representation "
+                        "(stackable/shardable under pp/tp/ep)")
     s.add_argument("--prompts", required=True, help="file, one prompt/line")
     s.add_argument("--max-new-tokens", type=int, default=128)
     s.add_argument("--max-seqs", type=int, default=8)

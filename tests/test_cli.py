@@ -89,3 +89,27 @@ def test_cli_calibrate_quantize_eval_serve(ckpt, tmp_path, capsys):
     stats = json.loads(out.strip().splitlines()[-1])
     assert stats["requests"] == 2
     assert stats["decode_tokens"] > 0
+
+
+def test_cli_hetero_quantize_and_serve(ckpt, tmp_path, capsys):
+    """--hetero bakes the budgets-as-data representation; the checkpoint
+    restores (FakeQuantSite nodes) and serves through the engine."""
+    calib = str(tmp_path / "calib.npz")
+    main(["calibrate", "--model", ckpt, "--samples", "2", "--seqlen", "32",
+          "--dataset", "synthetic", "--output", calib])
+    qdir = str(tmp_path / "hetero")
+    main(["quantize", "--model", ckpt, "--calibration", calib,
+          "--hetero", "--output", qdir])
+    from micromix_tpu.models.checkpoint import load_params
+    from micromix_tpu.models.hetero import FakeQuantSite
+    params, cfg, _ = load_params(qdir)
+    assert isinstance(params["layers"][0]["attn_site"], FakeQuantSite)
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("w1 w2 w3\n")
+    main(["serve", "--model", ckpt, "--quantized-ckpt", qdir,
+          "--prompts", str(prompts), "--max-new-tokens", "4",
+          "--max-seqs", "2", "--page-size", "16", "--decode-chunk", "2"])
+    out = capsys.readouterr().out
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["decode_tokens"] > 0
