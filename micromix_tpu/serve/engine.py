@@ -209,12 +209,14 @@ class Engine:
                            bits=kv_bits)
                 for _ in range(dcfg.num_layers)
             ]
-            self.prefill_chunk = self.buckets[-1]  # single-shot prefill
-            self._can_batch_prefill = False
-            self._piggyback_ok = False  # draft cache must mirror prefill
-            self._draft_prefill = jax.jit(
-                lambda p, c, t, sid, sp, li: prefill(p, dcfg, c, t, sid,
-                                                     sp, li))
+            # chunked and batched prefill both compose with spec mode:
+            # every target prefill dispatch is MIRRORED into the draft
+            # cache chunk by chunk, so the draft sees exactly the token
+            # stream the target saw.  Piggybacking stays off (its fused
+            # program only runs the target model).
+            self._piggyback_ok = False
+            self._draft_prefill_cache: Dict[int, Any] = {}
+            self._draft_prefill_batch_cache: Dict[int, Any] = {}
             from .speculative import spec_decode_multi
             gamma, rounds = self.spec_gamma, self.spec_rounds
             tcfg = cfg
@@ -423,6 +425,25 @@ class Engine:
             self._emit(piggy, int(np.asarray(ptok)[0]))
         return np.asarray(toks_dev)
 
+    def _draft_prefill_for(self, hist_gather: int):
+        """Draft-model mirror of _prefill_for (spec mode, chunked)."""
+        key = (hist_gather if jax.default_backend() == "cpu" else -1) \
+            if hist_gather else 0
+        if key not in self._draft_prefill_cache:
+            dcfg = self.draft_cfg
+            self._draft_prefill_cache[key] = jax.jit(
+                lambda p, c, t, sid, sp, li, h=key: prefill(
+                    p, dcfg, c, t, sid, sp, li, hist_len=h))
+        return self._draft_prefill_cache[key]
+
+    def _draft_prefill_batch_for(self, bucket: int):
+        if bucket not in self._draft_prefill_batch_cache:
+            dcfg = self.draft_cfg
+            self._draft_prefill_batch_cache[bucket] = jax.jit(
+                lambda p, c, t, sid, li: prefill_batch(p, dcfg, c, t,
+                                                       sid, li))
+        return self._draft_prefill_batch_cache[bucket]
+
     def _prefill_batch_for(self, bucket: int):
         if bucket not in self._prefill_batch_cache:
             if self._custom_prefill_batch is not None:
@@ -475,6 +496,13 @@ class Engine:
         lens = np.asarray([len(self.slots[i].pending) for i in ok], np.int32)
         self.caches = self._set_len_many(
             self.caches, jnp.asarray(ok, dtype=jnp.int32), jnp.asarray(lens))
+        if self.dcaches is not None:  # spec mode: mirror into the draft
+            _, self.dcaches = self._draft_prefill_batch_for(bucket)(
+                self.draft_params, self.dcaches, jnp.asarray(toks),
+                jnp.asarray(seqs), jnp.asarray(last))
+            self.dcaches = self._set_len_many(
+                self.dcaches, jnp.asarray(ok, dtype=jnp.int32),
+                jnp.asarray(lens))
         # ok slots occupy the first len(ok) batch rows by construction
         firsts = self._sample_rows(logits[:len(ok)],
                                    [self.slots[i].req for i in ok])
@@ -524,9 +552,9 @@ class Engine:
         self.caches = self._set_len(self.caches, jnp.int32(slot_id),
                                     jnp.int32(true_len))
         if self.dcaches is not None:
-            # the draft must see exactly the prompt the target saw
-            # (spec mode forces single-shot prefill, so hist is 0)
-            _, self.dcaches = self._draft_prefill(
+            # mirror this chunk into the draft cache: the draft sees
+            # exactly the token stream (and chunking) the target saw
+            _, self.dcaches = self._draft_prefill_for(hist_gather)(
                 self.draft_params, self.dcaches, jnp.asarray(toks),
                 jnp.int32(slot_id), jnp.int32(slot.pos), jnp.int32(n - 1))
             self.dcaches = self._set_len(self.dcaches, jnp.int32(slot_id),

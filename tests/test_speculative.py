@@ -295,3 +295,53 @@ def test_engine_speculative_mode(rng):
             assert lg[e] >= lg.max() - ATOL, (r.output, e, int(lg.argmax()))
             toks = jnp.asarray([e], jnp.int32)
             pos = pos + 1
+
+
+def test_engine_spec_with_chunked_and_batched_prefill(rng):
+    """Spec mode now composes with chunked AND batched prefill: every
+    target prefill dispatch is mirrored into the draft cache, so the
+    draft sees exactly the chunked token stream the target saw.  The
+    emitted streams must still be near-greedy under teacher forcing."""
+    from micromix_tpu.serve import Engine, Request
+
+    cfg = _cfg()
+    tparams = random_dense_params(cfg, seed=40)
+    dcfg = _cfg(num_layers=1)
+    dparams = {**random_dense_params(dcfg, seed=41)}
+    dparams["layers"] = dparams["layers"][:1]
+
+    eng = Engine(tparams, cfg, max_seqs=3, page_size=16,
+                 max_pages_per_seq=8, prefill_buckets=(16, 32),
+                 prefill_chunk=16,            # chunked prefill stays on
+                 draft_params=dparams, draft_cfg=dcfg, spec_gamma=2,
+                 spec_rounds=2)
+    prompts = [list(rng.integers(0, cfg.vocab_size, 40)),  # 3 chunks
+               list(rng.integers(0, cfg.vocab_size, 9)),   # batched pair
+               list(rng.integers(0, cfg.vocab_size, 11))]
+    reqs = [Request(req_id=i, prompt=p, max_new_tokens=6)
+            for i, p in enumerate(prompts)]
+    eng.run(reqs)
+    for r in reqs:
+        assert r.done and len(r.output) == 6, r
+    assert eng.spec_proposed > 0
+    # the mirrored draft cache kept the same lengths as the target cache
+    np.testing.assert_array_equal(np.asarray(eng.caches[0].lengths),
+                                  np.asarray(eng.dcaches[0].lengths))
+
+    # teacher-forced near-argmax check of each full output stream
+    for j, r in enumerate(reqs):
+        caches = _make_caches(cfg, 3)
+        logits, caches = prefill(tparams, cfg, caches,
+                                 jnp.asarray([r.prompt], jnp.int32),
+                                 jnp.int32(j), jnp.int32(0))
+        lg = np.asarray(logits[0])
+        assert lg[r.output[0]] >= lg.max() - ATOL
+        toks = jnp.asarray([r.output[0]], jnp.int32)
+        pos = jnp.asarray([len(r.prompt)], jnp.int32)
+        for e in r.output[1:]:
+            lgs, caches = decode_step(tparams, cfg, caches, toks,
+                                      jnp.asarray([j], jnp.int32), pos)
+            lg = np.asarray(lgs[0])
+            assert lg[e] >= lg.max() - ATOL, (r.output, e, int(lg.argmax()))
+            toks = jnp.asarray([e], jnp.int32)
+            pos = pos + 1
