@@ -56,14 +56,26 @@ def shard_caches(caches: List[PagedKVCache],
 
 
 def _row_parallel(x2d, site, lin, out_bias_once=True):
-    """Shard-local quantize -> local mixed matmul -> psum (f32 partials)."""
-    qx = (reorder_quantize_x(x2d, site.perm, *site.splits)
-          if site.perm is not None
-          else activation_quantize(x2d, *site.splits))
-    y = jax.lax.psum(mixed_matmul(qx, lin.w, out_dtype=jnp.float32),
+    """Shard-local quantize -> local mixed matmul -> psum (f32 partials).
+
+    Handles both representations: segmented (QuantSite + QuantLinear) and
+    hetero budgets-as-data (FakeQuantSite + {"w": ScaledW8, "bias"} dicts,
+    parallel/tp_hetero.py) — the site/lin leaves are the shard-local
+    slices under shard_map either way.
+    """
+    from ..models.hetero import FakeQuantSite, fakequant_site
+    w, bias = ((lin["w"], lin["bias"]) if isinstance(lin, dict)
+               else (lin.w, lin.bias))
+    if isinstance(site, FakeQuantSite):
+        qx = fakequant_site(x2d.astype(jnp.float32), site)
+    elif site.perm is not None:
+        qx = reorder_quantize_x(x2d, site.perm, *site.splits)
+    else:
+        qx = activation_quantize(x2d, *site.splits)
+    y = jax.lax.psum(mixed_matmul(qx, w, out_dtype=jnp.float32),
                      "model")
-    if lin.bias is not None and out_bias_once:
-        y = y + lin.bias
+    if bias is not None and out_bias_once:
+        y = y + bias
     return y.astype(jnp.bfloat16)
 
 
@@ -82,8 +94,18 @@ def _tp_layer(h, p, cfg_l: ModelConfig, *, attn_fn):
     h = h + _row_parallel(out.reshape(b * s, -1), p["o_site"],
                           p["o"]).reshape(b, s, -1)
     msite = p["mlp_site"]
-    qm = rmsnorm_quantize_x(h, p["ln2"], msite.perm, *msite.splits,
-                            eps=cfg_l.rms_eps)
+    from ..models.hetero import FakeQuantSite, fakequant_site
+    if isinstance(msite, FakeQuantSite):
+        # hetero: f32 norm straight into the fakequant (no bf16 round —
+        # matches project_all's hetero path / tp_hetero._tph_decoder_layer)
+        xf = h.astype(jnp.float32)
+        rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                             + cfg_l.rms_eps)
+        xn = xf * rvar * p["ln2"].astype(jnp.float32)
+        qm = fakequant_site(xn, msite).reshape(b * s, -1)
+    else:
+        qm = rmsnorm_quantize_x(h, p["ln2"], msite.perm, *msite.splits,
+                                eps=cfg_l.rms_eps)
     gate, up = p["gate"](qm), p["up"](qm)
     act = (jax.nn.silu(gate.astype(jnp.float32)) * up.astype(jnp.float32))
     d = _row_parallel(act, p["down_site"], p["down"])
@@ -235,7 +257,11 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
     assert cfg.num_kv_heads % tp == 0 and cfg.num_heads % tp == 0
     cfg_l = dataclasses.replace(cfg, num_heads=cfg.num_heads // tp,
                                 num_kv_heads=cfg.num_kv_heads // tp)
-    pspecs = param_specs_tp(params)
+    if _is_hetero(params):
+        from .tp_hetero import param_specs_tp_hetero
+        pspecs = param_specs_tp_hetero(params)
+    else:
+        pspecs = param_specs_tp(params)
     L = n_layers if n_layers is not None else cfg.num_layers
 
     def cache_specs(caches):
@@ -290,14 +316,27 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
                    prefill_batch=prefill_batch_fn)
 
 
+def _is_hetero(params: Params) -> bool:
+    """Hetero-TP pytrees (tp_hetero.py) carry o/down as {"w","bias"}."""
+    return isinstance(params["layers"][0]["o"], dict)
+
+
 def make_tp_engine(params_tp: Params, cfg: ModelConfig, mesh: Mesh,
                    **engine_kw):
-    """serve.Engine over TP-v2 sharded params + head-sharded KV cache."""
+    """serve.Engine over TP sharded params + head-sharded KV cache.
+
+    Accepts either representation: quantize_model_tp (segmented) or
+    quantize_model_tp_hetero (budgets-as-data) pytrees.
+    """
     from ..serve.engine import Engine
     from .tp_quant import shard_params_tp
 
     decode_chunk = engine_kw.pop("decode_chunk", 8)
-    sharded = shard_params_tp(params_tp, mesh)
+    if _is_hetero(params_tp):
+        from .tp_hetero import shard_params_tp_hetero
+        sharded = shard_params_tp_hetero(params_tp, mesh)
+    else:
+        sharded = shard_params_tp(params_tp, mesh)
     step_fns = make_tp_step_fns(sharded, cfg, mesh,
                                 decode_chunk=decode_chunk)
     return Engine(sharded, cfg, decode_chunk=decode_chunk,

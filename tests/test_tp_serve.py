@@ -135,3 +135,48 @@ def test_tp_batched_prefill_matches_single_chip(rng):
     out2 = run(eng2)
     assert eng2._prefill_batch_cache, "TP batched prefill program unused"
     assert out1 == out2
+
+
+def test_tp_engine_hetero_matches_single_chip(rng):
+    """make_tp_engine on a hetero (budgets-as-data) TP pytree: greedy
+    generations match the single-chip engine on the same hetero model
+    (identity calibration + k4-only, so shard-local == global blocks)."""
+    from micromix_tpu.models.hetero import quantize_model_hetero
+    from micromix_tpu.parallel.tp_hetero import quantize_model_tp_hetero
+
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=17)
+    calibs = default_calibration(cfg, p6=0, p8=0)
+
+    eng1 = Engine(quantize_model_hetero(dense, cfg, calibs), cfg,
+                  max_seqs=2, page_size=16, max_pages_per_seq=8,
+                  prefill_buckets=(16,), decode_chunk=2)
+    out1 = [r.output for r in eng1.run(_reqs(np.random.default_rng(9), cfg))]
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    eng2 = make_tp_engine(quantize_model_tp_hetero(dense, cfg, calibs, 2),
+                          cfg, mesh, max_seqs=2, page_size=16,
+                          max_pages_per_seq=8, prefill_buckets=(16,),
+                          decode_chunk=2)
+    out2 = [r.output for r in eng2.run(_reqs(np.random.default_rng(9), cfg))]
+    assert out1 == out2
+
+
+def test_tp_engine_hetero_mixed_budgets(rng):
+    """Mixed per-shard budgets (the thing segmented TP serving cannot
+    represent) run through the full sharded serving stack."""
+    from micromix_tpu.models.surgery import SiteCalibration
+    from micromix_tpu.parallel.tp_hetero import quantize_model_tp_hetero
+
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=19)
+    calibs = default_calibration(cfg, p6=32, p8=32, seed=7)
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    eng = make_tp_engine(quantize_model_tp_hetero(dense, cfg, calibs, 2),
+                         cfg, mesh, max_seqs=2, page_size=16,
+                         max_pages_per_seq=8, prefill_buckets=(16,),
+                         decode_chunk=2)
+    reqs = _reqs(np.random.default_rng(11), cfg)
+    eng.run(reqs)
+    for r in reqs:
+        assert r.done and len(r.output) == 5
