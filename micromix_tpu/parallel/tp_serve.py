@@ -249,6 +249,49 @@ def tp_decode_step(params: Params, cfg_l: ModelConfig, caches, tokens,
     return _logits(params, cfg_l, h[:, 0]), new_caches
 
 
+def tp_verify_block(params: Params, cfg_l: ModelConfig, caches, tokens,
+                    seq_ids, positions):
+    """shard_map body: speculative-verify forward with local KV heads.
+
+    Mirror of serve/runner.verify_block — tokens (B, S) starting at
+    per-slot ``positions`` score as B*S independent rows of the paged
+    decode kernel, causally clamped per row via the ``lengths`` override.
+    Attention is head-local; the row-parallel psums in _tp_layer make the
+    returned (B, S, V) logits replicated, so the acceptance logic in
+    serve/speculative.py runs identically on every device.
+    """
+    from ..models.common import rope_inv_freq
+    b, s = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0).astype(jnp.bfloat16)
+    pos = positions[:, None] + jnp.arange(s, dtype=jnp.int32)[None]
+    flat_pos = pos.reshape(-1)
+    flat_seq = jnp.repeat(seq_ids, s)
+    cos = jnp.cos(_rope_angles(flat_pos, cfg_l))
+    sin = jnp.sin(_rope_angles(flat_pos, cfg_l))
+    inv = rope_inv_freq(cfg_l.head_dim, cfg_l.rope_theta, cfg_l.rope_scaling)
+    new_caches = []
+    cache_it = iter(caches)
+
+    def attn_fn(q, k, v):
+        kf = _rope1(k.reshape(b * s, cfg_l.num_kv_heads, cfg_l.head_dim),
+                    cos, sin)
+        cache = append_kv(next(cache_it), flat_seq, flat_pos, kf,
+                          v.reshape(b * s, cfg_l.num_kv_heads,
+                                    cfg_l.head_dim))
+        new_caches.append(cache)
+        out = paged_decode_attention(
+            q.reshape(b * s, cfg_l.num_heads, cfg_l.head_dim),
+            cache, flat_seq,
+            sliding_window=cfg_l.sliding_window,
+            rope_positions=flat_pos, rope_inv_freq=inv,
+            lengths=flat_pos + 1)
+        return out.reshape(b, s, -1), kf, v
+
+    for p in params["layers"]:
+        h = _tp_layer(h, p, cfg_l, attn_fn=attn_fn)
+    return _logits(params, cfg_l, h), new_caches
+
+
 def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
                      decode_chunk: int = 8, n_layers: int = None):
     """Build (prefill, decode, decode_multi) shard-mapped jitted callables
@@ -309,11 +352,42 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
         lambda p, c, t, sid, li, cfg_l: tp_prefill_batch(
             p, cfg_l, c, t, sid, li), 2)
 
+    def spec_multi(dcfg: ModelConfig, gamma: int, n_rounds: int):
+        """StepFns.spec_multi factory: shard-mapped speculative rounds.
+
+        TPU-first layout: the draft model is small, so its params and KV
+        cache are REPLICATED over the mesh — the draft chain runs
+        identically on every device with zero collectives — while target
+        verify runs with local heads (tp_verify_block, the usual two
+        psums/layer).  The whole draft/verify/accept multi-round program
+        is one shard-mapped dispatch, same as single-chip spec decode.
+        """
+        from ..serve.runner import decode_step
+        from ..serve.speculative import spec_decode_multi
+
+        def body(tp_p, d_p, tc, dc, st, sid, key, temps):
+            return spec_decode_multi(
+                tp_p, d_p, cfg_l, dcfg, tc, dc, st, sid, key, temps,
+                gamma=gamma, n_rounds=n_rounds,
+                decode_fn=decode_step, verify_fn=tp_verify_block)
+
+        def wrapped(tp_p, d_p, tc, dc, st, sid, key, temps):
+            fn = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(pspecs, P(), cache_specs(tc), P(), P(), P(),
+                          P(), P()),
+                out_specs=(P(), P(), P(), cache_specs(tc), P()),
+                check_vma=False)
+            return fn(tp_p, d_p, tc, dc, st, sid, key, temps)
+
+        return jax.jit(wrapped)
+
     from ..serve.engine import StepFns
     return StepFns(prefill=prefill_fn, decode=decode_fn,
                    decode_multi=decode_multi_fns,
                    prefill_hist=prefill_hist,
-                   prefill_batch=prefill_batch_fn)
+                   prefill_batch=prefill_batch_fn,
+                   spec_multi=spec_multi)
 
 
 def _is_hetero(params: Params) -> bool:

@@ -49,8 +49,11 @@ class StepFns:
     decode_multi may be a dict keyed by sample mode ("simple"/"topk"/
     "full").  prefill_hist is a ``hist_len -> jitted fn`` factory enabling
     chunked prefill; prefill_batch enables multi-slot fresh prefill.
-    Absent optional members fall back to conservative behavior
-    (single-shot prefill, per-slot prefill).
+    spec_multi is a ``(draft_cfg, gamma, n_rounds) -> jitted fn`` factory
+    enabling speculative decoding (the draft model runs replicated on
+    every chip — see parallel/tp_serve.py).  Absent optional members fall
+    back to conservative behavior (single-shot prefill, per-slot prefill,
+    no speculative mode).
     """
 
     prefill: Any
@@ -58,6 +61,7 @@ class StepFns:
     decode_multi: Any
     prefill_hist: Optional[Any] = None
     prefill_batch: Optional[Any] = None
+    spec_multi: Optional[Any] = None
 
 
 @dataclasses.dataclass
@@ -199,9 +203,9 @@ class Engine:
             1, decode_chunk // (spec_gamma + 1))
         self.dcaches = None
         if draft_params is not None:
-            if step_fns is not None:
-                raise ValueError("speculative decoding does not compose "
-                                 "with custom step_fns yet")
+            if step_fns is not None and step_fns.spec_multi is None:
+                raise ValueError("speculative decoding with custom step_fns "
+                                 "requires a StepFns.spec_multi factory")
             dcfg = self.draft_cfg
             self.dcaches = [
                 make_cache(n_pages, page_size, dcfg.num_kv_heads,
@@ -220,10 +224,18 @@ class Engine:
             from .speculative import spec_decode_multi
             gamma, rounds = self.spec_gamma, self.spec_rounds
             tcfg = cfg
-            self._spec_multi = jax.jit(
-                lambda tp, dp, tc, dc, st, sid, key, temps:
-                spec_decode_multi(tp, dp, tcfg, dcfg, tc, dc, st, sid, key,
-                                  temps, gamma=gamma, n_rounds=rounds))
+            if step_fns is not None:
+                # shard-mapped spec rounds (draft replicated on every
+                # chip); the draft prefill MIRROR below stays the plain
+                # single-chip runner.prefill — replicated inputs make it
+                # numerically identical on any device set
+                self._spec_multi = step_fns.spec_multi(dcfg, gamma, rounds)
+            else:
+                self._spec_multi = jax.jit(
+                    lambda tp, dp, tc, dc, st, sid, key, temps:
+                    spec_decode_multi(tp, dp, tcfg, dcfg, tc, dc, st, sid,
+                                      key, temps, gamma=gamma,
+                                      n_rounds=rounds))
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0
@@ -239,9 +251,14 @@ class Engine:
 
     @contextlib.contextmanager
     def _phase(self, name: str):
+        # TraceAnnotation labels the host span in `serve --profile` traces
+        # (the dispatches inside inherit it), so the Perfetto timeline
+        # shows the prefill/decode/mixed/spec phase breakdown per step —
+        # nsys-range analog of the reference's prof wrapper (SURVEY §5).
         t0 = time.perf_counter()
         try:
-            yield
+            with jax.profiler.TraceAnnotation(f"engine.{name}"):
+                yield
         finally:
             self.phase_s[name] += time.perf_counter() - t0
 

@@ -77,7 +77,7 @@ def _softmax_t(logits: jnp.ndarray, temps: jnp.ndarray) -> jnp.ndarray:
 
 def draft_propose(dparams: Params, dcfg: ModelConfig, dcaches: Caches,
                   state: SpecState, seq_ids: jnp.ndarray, key: jax.Array,
-                  temps: jnp.ndarray, *, gamma: int
+                  temps: jnp.ndarray, *, gamma: int, decode_fn=decode_step
                   ) -> Tuple[jnp.ndarray, jnp.ndarray, Caches]:
     """Draft chain: propose ``gamma`` tokens per slot.
 
@@ -86,14 +86,16 @@ def draft_propose(dparams: Params, dcfg: ModelConfig, dcaches: Caches,
 
     Step 0 re-processes ``prev`` (heals the post-full-accept hole, output
     discarded); steps 1..gamma process cur, d1, ..  Greedy rows
-    (temp<=0) propose argmax.
+    (temp<=0) propose argmax.  ``decode_fn`` lets multi-chip callers
+    substitute a shard-local step (parallel/tp_serve.py runs the draft
+    replicated, so the default single-chip step is also correct there).
     """
     b = state.cur.shape[0]
 
     def step(carry, i):
         caches, tok, pos = carry
-        logits, caches = decode_step(dparams, dcfg, caches, tok, seq_ids,
-                                     pos)
+        logits, caches = decode_fn(dparams, dcfg, caches, tok, seq_ids,
+                                   pos)
         probs = _softmax_t(logits, temps)                  # (B, V)
         k = jax.random.fold_in(key, i)
         nxt = jnp.where(
@@ -187,16 +189,22 @@ def _set_lengths(caches: Caches, seq_ids: jnp.ndarray,
 def spec_round(tparams: Params, dparams: Params, cfg: ModelConfig,
                dcfg: ModelConfig, tcaches: Caches, dcaches: Caches,
                state: SpecState, seq_ids: jnp.ndarray, key: jax.Array,
-               temps: jnp.ndarray, *, gamma: int):
+               temps: jnp.ndarray, *, gamma: int,
+               decode_fn=decode_step, verify_fn=verify_block):
     """One draft+verify+accept round.  Returns
     (emitted (B, gamma+1), n_emitted (B,), new state, tcaches, dcaches).
+
+    ``decode_fn``/``verify_fn`` default to the single-chip runner steps;
+    TP serving passes local-head variants so the whole round runs inside
+    one shard_map body (parallel/tp_serve.py).
     """
     kd, ka = jax.random.split(key)
     proposed, dprobs, dcaches = draft_propose(
-        dparams, dcfg, dcaches, state, seq_ids, kd, temps, gamma=gamma)
+        dparams, dcfg, dcaches, state, seq_ids, kd, temps, gamma=gamma,
+        decode_fn=decode_fn)
     block = jnp.concatenate([state.cur[:, None], proposed], axis=1)
-    tlogits, tcaches = verify_block(tparams, cfg, tcaches, block, seq_ids,
-                                    state.positions)
+    tlogits, tcaches = verify_fn(tparams, cfg, tcaches, block, seq_ids,
+                                 state.positions)
     emitted, n_emitted, _ = accept_tokens(proposed, dprobs, tlogits, ka,
                                           temps)
     new_pos = state.positions + n_emitted
@@ -218,7 +226,8 @@ def spec_decode_multi(tparams: Params, dparams: Params, cfg: ModelConfig,
                       dcfg: ModelConfig, tcaches: Caches, dcaches: Caches,
                       state: SpecState, seq_ids: jnp.ndarray,
                       key: jax.Array, temps: jnp.ndarray, *, gamma: int,
-                      n_rounds: int):
+                      n_rounds: int, decode_fn=decode_step,
+                      verify_fn=verify_block):
     """``n_rounds`` speculative rounds in ONE program (lax.scan).
 
     Returns (emitted (n_rounds, B, gamma+1), n_emitted (n_rounds, B),
@@ -230,7 +239,7 @@ def spec_decode_multi(tparams: Params, dparams: Params, cfg: ModelConfig,
         k = jax.random.fold_in(key, i)
         emitted, n_emitted, state, tcaches, dcaches = spec_round(
             tparams, dparams, cfg, dcfg, tcaches, dcaches, state, seq_ids,
-            k, temps, gamma=gamma)
+            k, temps, gamma=gamma, decode_fn=decode_fn, verify_fn=verify_fn)
         return (tcaches, dcaches, state), (emitted, n_emitted)
 
     (tcaches, dcaches, state), (emitted, n_emitted) = jax.lax.scan(

@@ -180,3 +180,99 @@ def test_tp_engine_hetero_mixed_budgets(rng):
     eng.run(reqs)
     for r in reqs:
         assert r.done and len(r.output) == 5
+
+
+def test_tp_verify_block_matches_single_chip(rng):
+    """tp_verify_block (shard_map, local heads) reproduces the single-chip
+    verify_block logits on identity k4-only calibration, where shard-local
+    and global quantization coincide."""
+    import dataclasses
+    import functools
+    from jax.sharding import PartitionSpec as P
+    from micromix_tpu.parallel.tp_quant import param_specs_tp, shard_params_tp
+    from micromix_tpu.parallel.tp_serve import (
+        _cache_spec, shard_caches, tp_verify_block)
+    from micromix_tpu.serve.kv_cache import make_cache
+    from micromix_tpu.serve.runner import prefill, verify_block
+
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=23)
+    calibs = default_calibration(cfg, p6=0, p8=0)
+    qparams = quantize_model(dense, cfg, calibs)
+
+    def fresh_caches():
+        caches = [make_cache(17, 16, cfg.num_kv_heads, cfg.head_dim, 2, 8,
+                             bits=4)
+                  for _ in range(cfg.num_layers)]
+        table = np.zeros((2, 8), np.int32)
+        table[0] = np.arange(8) + 1
+        table[1] = np.arange(8) + 9
+        return [dataclasses.replace(c, page_table=jnp.asarray(table))
+                for c in caches]
+
+    prompt = jnp.asarray([list(np.random.default_rng(3).integers(
+        0, cfg.vocab_size, 7))], jnp.int32)
+    block = jnp.asarray(np.random.default_rng(4).integers(
+        0, cfg.vocab_size, (1, 3)), jnp.int32)
+    seq_ids = jnp.asarray([0], jnp.int32)
+    positions = jnp.asarray([7], jnp.int32)
+
+    caches = fresh_caches()
+    _, caches = prefill(qparams, cfg, caches, prompt, jnp.int32(0),
+                        jnp.int32(0))
+    ref, _ = verify_block(qparams, cfg, caches, block, seq_ids, positions)
+
+    tp = 2
+    mesh = make_mesh(data=1, model=tp, devices=jax.devices()[:tp])
+    tparams = shard_params_tp(quantize_model_tp(dense, cfg, calibs, tp),
+                              mesh)
+    cfg_l = dataclasses.replace(cfg, num_heads=cfg.num_heads // tp,
+                                num_kv_heads=cfg.num_kv_heads // tp)
+    caches2 = fresh_caches()
+    from micromix_tpu.parallel.tp_serve import make_tp_step_fns
+    step_fns = make_tp_step_fns(tparams, cfg, mesh, decode_chunk=2)
+    caches2 = shard_caches(caches2, mesh)
+    _, caches2 = step_fns.prefill(tparams, caches2, prompt, jnp.int32(0),
+                                  jnp.int32(0), jnp.int32(6))
+    cspecs = [_cache_spec(c) for c in caches2]
+    fn = jax.jit(jax.shard_map(
+        lambda p, c, t, sid, pos: tp_verify_block(p, cfg_l, c, t, sid, pos),
+        mesh=mesh,
+        in_specs=(param_specs_tp(tparams), cspecs, P(), P(), P()),
+        out_specs=(P(), cspecs), check_vma=False))
+    got, _ = fn(tparams, caches2, block, seq_ids, positions)
+    # atol: the TP path rounds to bf16 AFTER the psum while single-chip
+    # rounds the full matmul — measured cross-program drift ~0.07 over 2
+    # layers; a stale-cache/position bug would be O(1).  Exact-token
+    # equality is locked by test_tp_engine_speculative below.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=0.1, rtol=0)
+
+
+def test_tp_engine_speculative(rng):
+    """Speculative decoding through shard-mapped TP step_fns: the draft
+    runs replicated, target verify with local heads; greedy streams match
+    the single-chip speculative engine exactly (identity k4-only)."""
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=29)
+    calibs = default_calibration(cfg, p6=0, p8=0)
+    dcfg = ModelConfig(arch="llama", vocab_size=128, hidden_size=64,
+                       intermediate_size=128, num_layers=1, num_heads=2,
+                       num_kv_heads=1, head_dim=32, rope_theta=10000.0,
+                       rms_eps=1e-6)
+    dparams = random_dense_params(dcfg, seed=31)
+
+    kw = dict(max_seqs=2, page_size=16, max_pages_per_seq=8,
+              prefill_buckets=(16,), decode_chunk=2,
+              draft_params=dparams, draft_cfg=dcfg, spec_gamma=2,
+              spec_rounds=1)
+    eng1 = Engine(quantize_model(dense, cfg, calibs), cfg, **kw)
+    out1 = [r.output for r in eng1.run(_reqs(np.random.default_rng(13), cfg))]
+    assert eng1.spec_proposed > 0
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    eng2 = make_tp_engine(quantize_model_tp(dense, cfg, calibs, 2), cfg,
+                          mesh, **kw)
+    out2 = [r.output for r in eng2.run(_reqs(np.random.default_rng(13), cfg))]
+    assert eng2.spec_proposed > 0
+    assert out1 == out2
