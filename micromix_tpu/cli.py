@@ -159,9 +159,20 @@ def cmd_serve(args) -> None:
 
     with open(args.prompts) as f:
         prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+    spec_kw = {}
+    if getattr(args, "draft_model", None):
+        # speculative decoding: the draft stays dense bf16 (it is small;
+        # quantizing it would trade acceptance rate for nothing — the
+        # target model dominates both HBM and FLOPs)
+        from .models.loader import config_from_hf, load_dense_params
+        with open(os.path.join(args.draft_model, "config.json")) as f:
+            dcfg = config_from_hf(json.load(f))
+        spec_kw = dict(draft_params=load_dense_params(args.draft_model,
+                                                      dcfg),
+                       draft_cfg=dcfg, spec_gamma=args.spec_gamma)
     eng = Engine(params, cfg, max_seqs=args.max_seqs,
                  page_size=args.page_size, kv_bits=args.kv_bits or 4,
-                 decode_chunk=args.decode_chunk)
+                 decode_chunk=args.decode_chunk, **spec_kw)
     sampling = SamplingParams(temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p)
     reqs = [
@@ -182,7 +193,7 @@ def cmd_serve(args) -> None:
         print(f"--- [{r.req_id}] ---")
         print(tok.decode(r.output, skip_special_tokens=True))
     ttfts = [eng.ttft[r.req_id] for r in reqs if r.req_id in eng.ttft]
-    print(json.dumps({
+    stats = {
         "requests": len(reqs),
         "prefill_tokens": eng.prefill_tokens,
         "decode_tokens": eng.decode_tokens,
@@ -194,7 +205,11 @@ def cmd_serve(args) -> None:
         # prefill+decode dispatches); the --profile trace has the
         # device-side view, this is the scheduler-side breakdown
         "phase_s": {k: round(v, 3) for k, v in eng.phase_s.items() if v},
-    }))
+    }
+    if eng.spec_proposed:
+        stats["spec_accept_rate"] = round(
+            eng.spec_accepted / eng.spec_proposed, 3)
+    print(json.dumps(stats))
 
 
 def main(argv=None) -> None:
@@ -274,6 +289,11 @@ def main(argv=None) -> None:
     s.add_argument("--page-size", type=int, default=128)
     s.add_argument("--kv-bits", type=int, default=4)
     s.add_argument("--decode-chunk", type=int, default=8)
+    s.add_argument("--draft-model", default=None, metavar="DIR",
+                   help="HF checkpoint dir of a small draft model; "
+                        "enables speculative decoding")
+    s.add_argument("--spec-gamma", type=int, default=4,
+                   help="draft tokens proposed per speculative round")
     s.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the run")
     s.add_argument("--temperature", type=float, default=0.0)

@@ -113,3 +113,30 @@ def test_cli_hetero_quantize_and_serve(ckpt, tmp_path, capsys):
     out = capsys.readouterr().out
     stats = json.loads(out.strip().splitlines()[-1])
     assert stats["decode_tokens"] > 0
+
+
+def test_cli_serve_speculative(ckpt, tmp_path, capsys):
+    """--draft-model enables speculative decoding from the shell: the
+    draft HF dir loads dense, the engine reports an acceptance rate."""
+    calib = str(tmp_path / "calib.npz")
+    main(["calibrate", "--model", ckpt, "--samples", "2", "--seqlen", "32",
+          "--dataset", "synthetic", "--output", calib])
+    qdir = str(tmp_path / "quantized")
+    main(["quantize", "--model", ckpt, "--calibration", calib,
+          "--output", qdir])
+    capsys.readouterr()
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("w1 w2 w3\nw4 w5\n")
+    # the tiny checkpoint doubles as its own draft (a real deployment
+    # would point at a smaller model; the CLI path is identical)
+    main(["serve", "--model", ckpt, "--quantized-ckpt", qdir,
+          "--prompts", str(prompts), "--max-new-tokens", "4",
+          "--max-seqs", "2", "--page-size", "16", "--decode-chunk", "2",
+          "--draft-model", ckpt, "--spec-gamma", "2"])
+    out = capsys.readouterr().out
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["requests"] == 2
+    assert stats["decode_tokens"] > 0
+    assert "spec_accept_rate" in stats
+    assert 0.0 <= stats["spec_accept_rate"] <= 1.0
