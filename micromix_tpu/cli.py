@@ -153,7 +153,11 @@ def cmd_serve(args) -> None:
         assert cfg is not None, "checkpoint has no ModelConfig"
     else:
         cfg, params = _load_model(args)
-        if args.do_quant:
+        if getattr(args, "weight_only", None):
+            from .models.surgery import quantize_model_weight_only
+            params = quantize_model_weight_only(params, cfg,
+                                                args.weight_only)
+        elif args.do_quant:
             params = _quantize(params, cfg, args)
     tok = _tokenizer(args)
 
@@ -275,6 +279,8 @@ def main(argv=None) -> None:
     s.add_argument("--model", required=True)
     s.add_argument("--quantized-ckpt", default=None)
     s.add_argument("--do-quant", action="store_true")
+    s.add_argument("--weight-only", choices=("mxfp4", "mxfp6", "mxfp8"),
+                   default=None, help="weight-only MX mode (bf16 acts)")
     s.add_argument("--calibration", default="saved/calibration.npz")
     s.add_argument("--smooth", action="store_true", default=True)
     s.add_argument("--no-smooth", dest="smooth", action="store_false")

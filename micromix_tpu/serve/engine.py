@@ -216,9 +216,13 @@ class Engine:
             # chunked and batched prefill both compose with spec mode:
             # every target prefill dispatch is MIRRORED into the draft
             # cache chunk by chunk, so the draft sees exactly the token
-            # stream the target saw.  Piggybacking stays off (its fused
-            # program only runs the target model).
+            # stream the target saw.  The plain piggyback program only
+            # runs the target model, so it stays off; spec mode has its
+            # own fused program (spec_prefill_decode) that mirrors the
+            # chunk into the draft inside the same dispatch.
             self._piggyback_ok = False
+            self._spec_piggyback_ok = piggyback and step_fns is None
+            self._spec_piggy_cache: Dict[int, Any] = {}
             self._draft_prefill_cache: Dict[int, Any] = {}
             self._draft_prefill_batch_cache: Dict[int, Any] = {}
             from .speculative import spec_decode_multi
@@ -442,6 +446,21 @@ class Engine:
             self._emit(piggy, int(np.asarray(ptok)[0]))
         return np.asarray(toks_dev)
 
+    def _spec_piggy_for(self, hist_key: int):
+        """Fused spec_prefill_decode program per history-length key."""
+        if hist_key not in self._spec_piggy_cache:
+            from .speculative import spec_prefill_decode
+            tcfg, dcfg = self.cfg, self.draft_cfg
+            gamma, rounds = self.spec_gamma, self.spec_rounds
+            self._spec_piggy_cache[hist_key] = jax.jit(
+                lambda tp, dp, tc, dc, pt, psid, psp, pli, ptl, ptemp,
+                st, sid, key, temps, h=hist_key:
+                spec_prefill_decode(tp, dp, tcfg, dcfg, tc, dc, pt, psid,
+                                    psp, pli, ptl, ptemp, st, sid, key,
+                                    temps, hist_len=h, gamma=gamma,
+                                    n_rounds=rounds))
+        return self._spec_piggy_cache[hist_key]
+
     def _draft_prefill_for(self, hist_gather: int):
         """Draft-model mirror of _prefill_for (spec mode, chunked)."""
         key = (hist_gather if jax.default_backend() == "cpu" else -1) \
@@ -623,8 +642,14 @@ class Engine:
             handled = (self._prefill_batch_pass()
                        if self._can_batch_prefill else set())
         # piggybacking: ONE pending slot's next chunk rides the decode
-        # dispatch below instead of its own (3 dispatches -> 1)
-        piggy = self._pick_piggy(handled) if self._piggyback_ok else None
+        # (or speculative) dispatch below instead of its own
+        if self.dcaches is not None:
+            ready_now = [i for i, s in enumerate(self.slots) if s.ready]
+            piggy = (self._pick_piggy(handled)
+                     if self._spec_piggyback_ok and ready_now
+                     and self._spec_ok(ready_now) else None)
+        else:
+            piggy = self._pick_piggy(handled) if self._piggyback_ok else None
         # one prefill chunk per remaining pending slot per step: decode of
         # running sequences is never starved more than one chunk's latency
         for i, s in enumerate(self.slots):
@@ -641,10 +666,19 @@ class Engine:
             return False
         if not active:
             return True
-        if self.dcaches is not None and self._spec_ok(active):
-            with self._phase("spec"):
-                self._spec_step(active)
-            return True
+        if self.dcaches is not None:
+            if self._spec_ok(active):
+                with self._phase("spec"):
+                    self._spec_step(active, piggy=piggy)
+                return True
+            if piggy is not None:
+                # a newly-readied top-k/top-p slot disabled spec for this
+                # step after the piggy was picked: run the chunk through
+                # the plain (draft-mirroring) prefill instead — the
+                # target-only _piggy_decode would desync the draft cache
+                with self._phase("prefill"):
+                    self._prefill_step(piggy)
+                piggy = None
         chunk = self.decode_chunk
         tokens = np.zeros((self.max_seqs,), np.int32)
         positions = np.zeros((self.max_seqs,), np.int32)
@@ -737,8 +771,13 @@ class Engine:
                 return False
         return True
 
-    def _spec_step(self, active) -> None:
-        """One dispatch of spec_rounds draft/verify rounds for all slots."""
+    def _spec_step(self, active, piggy: Optional[int] = None) -> None:
+        """One dispatch of spec_rounds draft/verify rounds for all slots.
+
+        With ``piggy`` set, that pending slot's prefill chunk (target +
+        draft mirror + fixups + first-token sample) rides the same
+        dispatch via spec_prefill_decode.
+        """
         from .speculative import SpecState
         worst = self.spec_rounds * (self.spec_gamma + 1)
         prev = np.zeros((self.max_seqs,), np.int32)
@@ -776,12 +815,43 @@ class Engine:
         self._sample_step += 1
         state = SpecState(prev=jnp.asarray(prev), cur=jnp.asarray(cur),
                           positions=jnp.asarray(positions))
-        emitted, n_emitted, _, self.caches, self.dcaches = \
-            self._spec_multi(
-                self.params, self.draft_params, self.caches, self.dcaches,
-                state, jnp.asarray(seq_ids),
-                jax.random.fold_in(self._base_key, self._sample_step),
-                jnp.asarray(temps))
+        key = jax.random.fold_in(self._base_key, self._sample_step)
+        if piggy is not None and self.slots[piggy].req is not None \
+                and self.slots[piggy].pending:
+            slot = self.slots[piggy]
+            pchunk = slot.pending[:self.prefill_chunk]
+            n = len(pchunk)
+            bucket = self._bucket(n)
+            hist = slot.pos
+            hist_gather = -(-hist // self.page_size) * self.page_size \
+                if hist else 0
+            hist_key = hist_gather if (
+                hist_gather == 0 or jax.default_backend() == "cpu") else -1
+            ptoks = np.zeros((1, bucket), np.int32)
+            ptoks[0, :n] = pchunk
+            sp = slot.req.sampling
+            ptok, emitted, n_emitted, _, self.caches, self.dcaches = \
+                self._spec_piggy_for(hist_key)(
+                    self.params, self.draft_params, self.caches,
+                    self.dcaches, jnp.asarray(ptoks), jnp.int32(piggy),
+                    jnp.int32(hist), jnp.int32(n - 1),
+                    jnp.int32(hist + n),
+                    jnp.asarray([sp.temperature], np.float32),
+                    state, jnp.asarray(seq_ids), key, jnp.asarray(temps))
+            slot.pos = hist + n
+            slot.pending = slot.pending[n:]
+            self.prefill_tokens += n
+            if not slot.pending:
+                self.ttft.setdefault(
+                    slot.req.req_id,
+                    time.time() - self._t_submit[slot.req.req_id])
+                self._emit(piggy, int(np.asarray(ptok)[0]))
+        else:
+            emitted, n_emitted, _, self.caches, self.dcaches = \
+                self._spec_multi(
+                    self.params, self.draft_params, self.caches,
+                    self.dcaches, state, jnp.asarray(seq_ids), key,
+                    jnp.asarray(temps))
         emitted = np.asarray(emitted)            # (rounds, B, gamma+1)
         n_emitted = np.asarray(n_emitted)        # (rounds, B)
         for r in range(emitted.shape[0]):

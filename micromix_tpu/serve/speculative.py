@@ -246,3 +246,53 @@ def spec_decode_multi(tparams: Params, dparams: Params, cfg: ModelConfig,
         body, (tcaches, dcaches, state),
         jnp.arange(n_rounds, dtype=jnp.int32))
     return emitted, n_emitted, state, tcaches, dcaches
+
+
+def spec_prefill_decode(tparams: Params, dparams: Params, cfg: ModelConfig,
+                        dcfg: ModelConfig, tcaches: Caches, dcaches: Caches,
+                        ptokens: jnp.ndarray, pseq_id: jnp.ndarray,
+                        pstart: jnp.ndarray, plast: jnp.ndarray,
+                        ptrue_len: jnp.ndarray, ptemp: jnp.ndarray,
+                        state: SpecState, seq_ids: jnp.ndarray,
+                        key: jax.Array, temps: jnp.ndarray, *,
+                        hist_len: int, gamma: int, n_rounds: int):
+    """PIGGYBACKED speculative step: one slot's prefill chunk — target AND
+    draft mirror, both true-length fixups, and the first-token sample —
+    rides the spec-rounds dispatch as ONE program.
+
+    Spec-mode analog of runner.prefill_decode: under mixed load the
+    engine previously paid 6 dispatches per step (target prefill, target
+    fixup, draft prefill, draft fixup, spec rounds, spec fixups); on the
+    axon tunnel each costs ~35 ms.  The prefill slot and the decoding
+    slots are distinct sequences, so in-program ordering does not change
+    numerics.  Spec mode admits greedy/temperature sampling only
+    (engine._spec_ok), so the first token samples from the plain
+    temperature softmax.
+
+    Returns (first token (1,) int32, emitted (n_rounds, B, gamma+1),
+    n_emitted (n_rounds, B), final state, tcaches, dcaches).
+    """
+    import dataclasses as _dc
+
+    from .runner import prefill
+
+    plogits, tcaches = prefill(tparams, cfg, tcaches, ptokens, pseq_id,
+                               pstart, plast, hist_len=hist_len)
+    tcaches = [_dc.replace(c, lengths=c.lengths.at[pseq_id].set(ptrue_len))
+               for c in tcaches]
+    _, dcaches = prefill(dparams, dcfg, dcaches, ptokens, pseq_id,
+                         pstart, plast, hist_len=hist_len)
+    dcaches = [_dc.replace(c, lengths=c.lengths.at[pseq_id].set(ptrue_len))
+               for c in dcaches]
+    pprobs = _softmax_t(plogits, ptemp)
+    # fold value n_rounds is disjoint from the round scan's 0..n_rounds-1
+    ptok = jnp.where(
+        ptemp <= 0.0,
+        jnp.argmax(plogits, axis=-1).astype(jnp.int32),
+        jax.random.categorical(
+            jax.random.fold_in(key, n_rounds),
+            jnp.log(jnp.maximum(pprobs, 1e-30)), axis=-1).astype(jnp.int32))
+    emitted, n_emitted, state, tcaches, dcaches = spec_decode_multi(
+        tparams, dparams, cfg, dcfg, tcaches, dcaches, state, seq_ids,
+        key, temps, gamma=gamma, n_rounds=n_rounds)
+    return ptok, emitted, n_emitted, state, tcaches, dcaches

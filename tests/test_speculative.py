@@ -345,3 +345,47 @@ def test_engine_spec_with_chunked_and_batched_prefill(rng):
             assert lg[e] >= lg.max() - ATOL, (r.output, e, int(lg.argmax()))
             toks = jnp.asarray([e], jnp.int32)
             pos = pos + 1
+
+
+def test_engine_spec_piggyback_mixed_load(rng):
+    """Spec-mode piggybacking: a pending slot's prefill chunk rides the
+    speculative dispatch (spec_prefill_decode).  Greedy streams must
+    exactly match the piggyback-off engine — the fused program processes
+    the same tokens in the same order, just in one dispatch."""
+    from micromix_tpu.serve import Engine, Request
+
+    cfg = _cfg()
+    tparams = random_dense_params(cfg, seed=50)
+    dcfg = _cfg(num_layers=1)
+    dparams = {**random_dense_params(dcfg, seed=51)}
+    dparams["layers"] = dparams["layers"][:1]
+
+    def build(piggyback):
+        return Engine(tparams, cfg, max_seqs=2, page_size=16,
+                      max_pages_per_seq=8, prefill_buckets=(16, 32),
+                      prefill_chunk=16, draft_params=dparams,
+                      draft_cfg=dcfg, spec_gamma=2, spec_rounds=1,
+                      piggyback=piggyback)
+
+    def reqs():
+        r = np.random.default_rng(7)
+        # short prompt decodes while the 40-token prompt still prefills
+        return [Request(req_id=0, prompt=list(r.integers(0, cfg.vocab_size,
+                                                         6)),
+                        max_new_tokens=8),
+                Request(req_id=1, prompt=list(r.integers(0, cfg.vocab_size,
+                                                         40)),
+                        max_new_tokens=4)]
+
+    eng_on = build(True)
+    out_on = [r.output for r in eng_on.run(reqs())]
+    assert eng_on._spec_piggy_cache, "fused spec piggyback program unused"
+    assert eng_on.spec_proposed > 0
+    # the draft cache mirrored every piggybacked chunk
+    np.testing.assert_array_equal(np.asarray(eng_on.caches[0].lengths),
+                                  np.asarray(eng_on.dcaches[0].lengths))
+
+    eng_off = build(False)
+    out_off = [r.output for r in eng_off.run(reqs())]
+    assert not eng_off._spec_piggy_cache
+    assert out_on == out_off

@@ -276,3 +276,31 @@ def test_tp_engine_speculative(rng):
     out2 = [r.output for r in eng2.run(_reqs(np.random.default_rng(13), cfg))]
     assert eng2.spec_proposed > 0
     assert out1 == out2
+
+
+def test_tp_engine_hetero_speculative(rng):
+    """The full composition: hetero budgets-as-data TP pytree + shard-
+    mapped speculative decoding (tp_verify_block dispatches on the leaf
+    types, so the spec factory needs no hetero-specific code)."""
+    from micromix_tpu.parallel.tp_hetero import quantize_model_tp_hetero
+
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=37)
+    calibs = default_calibration(cfg, p6=32, p8=32, seed=3)
+    dcfg = ModelConfig(arch="llama", vocab_size=128, hidden_size=64,
+                       intermediate_size=128, num_layers=1, num_heads=2,
+                       num_kv_heads=1, head_dim=32, rope_theta=10000.0,
+                       rms_eps=1e-6)
+    dparams = random_dense_params(dcfg, seed=41)
+
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    eng = make_tp_engine(quantize_model_tp_hetero(dense, cfg, calibs, 2),
+                         cfg, mesh, max_seqs=2, page_size=16,
+                         max_pages_per_seq=8, prefill_buckets=(16,),
+                         decode_chunk=2, draft_params=dparams,
+                         draft_cfg=dcfg, spec_gamma=2, spec_rounds=1)
+    reqs = _reqs(np.random.default_rng(23), cfg)
+    eng.run(reqs)
+    for r in reqs:
+        assert r.done and len(r.output) == 5
+    assert eng.spec_proposed > 0
