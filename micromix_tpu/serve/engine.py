@@ -37,6 +37,9 @@ class Request:
     max_new_tokens: int = 32
     sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
     eos_id: Optional[int] = None
+    # streaming: called with each emitted token id as it is produced
+    # (chunked decode delivers tokens in bursts of up to decode_chunk)
+    on_token: Optional[Any] = None
     # filled by the engine
     output: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -630,10 +633,33 @@ class Engine:
         slot = self.slots[slot_id]
         req = slot.req
         req.output.append(token)
+        if req.on_token is not None:
+            req.on_token(token)
         if (req.eos_id is not None and token == req.eos_id) or \
                 len(req.output) >= req.max_new_tokens:
             req.done = True
             self._release(slot_id)
+
+    def cancel(self, req_id: int) -> bool:
+        """Abort a request: dequeue it, or release its slot mid-flight.
+
+        Already-emitted tokens stay in ``req.output``; ``req.done`` is set
+        so callers can distinguish completion from abandonment by length.
+        Safe between steps and from ``on_token`` callbacks (the same
+        release path _emit uses — the step loop re-checks slot liveness).
+        Returns False if the request is unknown or already finished.
+        """
+        for i, r in enumerate(self.waiting):
+            if r.req_id == req_id:
+                self.waiting.pop(i)
+                r.done = True
+                return True
+        for slot_id, slot in enumerate(self.slots):
+            if slot.req is not None and slot.req.req_id == req_id:
+                slot.req.done = True
+                self._release(slot_id)
+                return True
+        return False
 
     def step(self) -> bool:
         """Admit, drive pending prefill chunks, one decode chunk."""

@@ -54,6 +54,10 @@ class Router:
                 progressed = True
         return progressed
 
+    def cancel(self, req_id: int) -> bool:
+        """Abort a request on whichever replica holds it."""
+        return any(eng.cancel(req_id) for eng in self.engines)
+
     def run(self, requests: List[Request]) -> List[Request]:
         for r in requests:
             self.submit(r)

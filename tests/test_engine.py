@@ -369,6 +369,11 @@ def test_router_spreads_and_matches_single_engine(rng):
     assert all(r.done and len(r.output) == 4 for r in reqs)
     # both replicas took work (4 requests, 1 slot each)
     assert all(n > 0 for n in router.stats["assigned"])
+    # cancel finds the owning replica (already-finished -> False)
+    assert router.cancel(reqs[0].req_id) is False
+    extra = Request(req_id=9, prompt=list(prompts[0]), max_new_tokens=4)
+    router.submit(extra)
+    assert router.cancel(9) is True and extra.output == []
 
     for i, p in enumerate(prompts):
         solo = mk_engine()
@@ -401,3 +406,37 @@ def test_piggybacked_prefill_matches_plain(rng):
             assert eng._piggyback_cache, "fused path never dispatched"
     assert outs[True] == outs[False]
     assert len(outs[True][0]) == 8 and len(outs[True][1]) == 8
+
+
+def test_engine_streaming_and_cancel(rng):
+    """on_token streams every emitted token in order; cancel aborts a
+    queued request before it runs and a running request mid-flight while
+    the remaining requests complete normally."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=60)
+    eng = Engine(params, cfg, max_seqs=1, page_size=16,
+                 max_pages_per_seq=8, prefill_buckets=(16,),
+                 decode_chunk=2)
+
+    streamed = []
+    r0 = Request(req_id=0, prompt=list(rng.integers(0, cfg.vocab_size, 5)),
+                 max_new_tokens=6, on_token=streamed.append)
+    # max_seqs=1 keeps r1/r2 queued while r0 runs
+    r1 = Request(req_id=1, prompt=list(rng.integers(0, cfg.vocab_size, 7)),
+                 max_new_tokens=6)
+    r2 = Request(req_id=2, prompt=list(rng.integers(0, cfg.vocab_size, 4)),
+                 max_new_tokens=6)
+    for r in (r0, r1, r2):
+        eng.submit(r)
+    assert eng.cancel(1) is True          # cancel while queued
+    assert eng.cancel(99) is False        # unknown id
+    eng.step()                            # r0 prefills + first decode chunk
+    assert 0 < len(r0.output) < 6
+    assert streamed == r0.output          # streamed as produced, in order
+    assert eng.cancel(0) is True          # cancel mid-flight
+    assert r0.done and len(r0.output) < 6
+    while eng.step():
+        pass
+    assert r1.done and r1.output == []    # never ran
+    assert r2.done and len(r2.output) == 6
+    assert streamed == r0.output          # no tokens after cancellation
