@@ -37,6 +37,9 @@ class Request:
     max_new_tokens: int = 32
     sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
     eos_id: Optional[int] = None
+    # additional stop tokens (e.g. chat-template terminators); any match
+    # ends the request like eos_id does
+    stop_ids: Optional[List[int]] = None
     # streaming: called with each emitted token id as it is produced
     # (chunked decode delivers tokens in bursts of up to decode_chunk)
     on_token: Optional[Any] = None
@@ -636,6 +639,7 @@ class Engine:
         if req.on_token is not None:
             req.on_token(token)
         if (req.eos_id is not None and token == req.eos_id) or \
+                (req.stop_ids is not None and token in req.stop_ids) or \
                 len(req.output) >= req.max_new_tokens:
             req.done = True
             self._release(slot_id)

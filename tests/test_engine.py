@@ -440,3 +440,27 @@ def test_engine_streaming_and_cancel(rng):
     assert r1.done and r1.output == []    # never ran
     assert r2.done and len(r2.output) == 6
     assert streamed == r0.output          # no tokens after cancellation
+
+
+def test_engine_stop_ids(rng):
+    """stop_ids terminate generation like eos_id; deterministic via a
+    greedy run observed first, then re-run with its 3rd token as a stop."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=61)
+    prompt = list(rng.integers(0, cfg.vocab_size, 9))
+
+    probe = Request(req_id=0, prompt=list(prompt), max_new_tokens=6)
+    Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+           prefill_buckets=(16,), decode_chunk=2).run([probe])
+    assert len(probe.output) == 6
+    stop = probe.output[2]
+    if stop in probe.output[:2]:  # would stop earlier; still a valid lock
+        cut = probe.output.index(stop) + 1
+    else:
+        cut = 3
+
+    req = Request(req_id=0, prompt=list(prompt), max_new_tokens=6,
+                  stop_ids=[stop])
+    Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+           prefill_buckets=(16,), decode_chunk=2).run([req])
+    assert req.done and req.output == probe.output[:cut]
