@@ -335,13 +335,27 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
             tt, kk, tp_, n_steps=decode_chunk, sample_mode=mode,
             step_fn=lambda prm, cl, cc, tk, si, po: tp_decode_step(
                 prm, cl, cc, tk, si, po))
+
+    def multi_body_ctl(p, c, t, sid, pos, key, step, tt, kk, tp_,
+                       pres, pen, eos, mrem, cfg_l, mode="full"):
+        return decode_multi(
+            p, cfg_l, c, t, sid, pos, jax.random.fold_in(key, step),
+            tt, kk, tp_, (pres, pen, eos, mrem), n_steps=decode_chunk,
+            sample_mode=mode,
+            step_fn=lambda prm, cl, cc, tk, si, po: tp_decode_step(
+                prm, cl, cc, tk, si, po))
     # per-sample-mode programs: the 'full' sampler argsorts the whole vocab
     # (~100 ms/step at V=32k, docs/perf_notes.md) and must only compile in
-    # when a request actually uses top-p — mirrors Engine._decode_multi_cache
-    decode_multi_fns = {
-        m: mk(functools.partial(multi_body, mode=m), 7)
-        for m in ("simple", "topk", "full")
-    }
+    # when a request actually uses top-p — mirrors Engine._decode_multi_cache.
+    # Keys (mode, controls): the controls variant adds the repetition-
+    # penalty / eos-suppression stage (replicated (B, V) presence — tiny
+    # next to the sharded weights) and only compiles when requested.
+    decode_multi_fns = {}
+    for m in ("simple", "topk", "full"):
+        decode_multi_fns[(m, False)] = mk(
+            functools.partial(multi_body, mode=m), 7)
+        decode_multi_fns[(m, True)] = mk(
+            functools.partial(multi_body_ctl, mode=m), 11)
 
     def prefill_hist(hist_len: int):
         """Chunked-prefill step specialized on the static history length."""

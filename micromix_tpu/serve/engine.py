@@ -53,7 +53,10 @@ class StepFns:
     """Custom (e.g. shard-mapped multi-chip) engine step programs.
 
     decode_multi may be a dict keyed by sample mode ("simple"/"topk"/
-    "full").  prefill_hist is a ``hist_len -> jitted fn`` factory enabling
+    "full") or by (mode, controls) tuples, where controls=True marks the
+    logit-controls variant (repetition_penalty / min_new_tokens — takes
+    presence/penalties/eos_ids/min_remaining as four extra trailing
+    args).  prefill_hist is a ``hist_len -> jitted fn`` factory enabling
     chunked prefill; prefill_batch enables multi-slot fresh prefill.
     spec_multi is a ``(draft_cfg, gamma, n_rounds) -> jitted fn`` factory
     enabling speculative decoding (the draft model runs replicated on
@@ -272,25 +275,85 @@ class Engine:
         finally:
             self.phase_s[name] += time.perf_counter() - t0
 
-    def _sampler_for(self, mode: str):
-        if mode not in self._sampler_cache:
-            self._sampler_cache[mode] = jax.jit(
-                lambda lg, key, step, t, k, tp, m=mode: sample_batch(
-                    lg, jax.random.fold_in(key, step), t, k, tp, mode=m))
-        return self._sampler_cache[mode]
+    def _sampler_for(self, mode: str, controls: bool = False):
+        from .sampling import apply_logit_controls
+        key = (mode, controls)
+        if key not in self._sampler_cache:
+            if controls:
+                self._sampler_cache[key] = jax.jit(
+                    lambda lg, key_, step, t, k, tp, pres, pen, eos, mrem,
+                    m=mode: sample_batch(
+                        apply_logit_controls(
+                            lg, pres, pen,
+                            jnp.logical_and(
+                                (mrem > 0)[:, None],
+                                jnp.arange(lg.shape[1])[None, :]
+                                == eos[:, None])),
+                        jax.random.fold_in(key_, step), t, k, tp, mode=m))
+            else:
+                self._sampler_cache[key] = jax.jit(
+                    lambda lg, key_, step, t, k, tp, m=mode: sample_batch(
+                        lg, jax.random.fold_in(key_, step), t, k, tp,
+                        mode=m))
+        return self._sampler_cache[key]
 
-    def _decode_multi_for(self, mode: str):
+    def _decode_multi_for(self, mode: str, controls: bool = False):
         if self._custom_decode_multi is not None:
             cdm = self._custom_decode_multi
-            return cdm[mode] if isinstance(cdm, dict) else cdm
-        if mode not in self._decode_multi_cache:
+            if isinstance(cdm, dict):
+                if (mode, controls) in cdm:
+                    return cdm[(mode, controls)]
+                if not controls and mode in cdm:
+                    return cdm[mode]
+            elif not controls:
+                return cdm
+            raise ValueError("custom decode_multi lacks a logit-controls "
+                             "variant for repetition_penalty / "
+                             "min_new_tokens requests")
+        key = (mode, controls)
+        if key not in self._decode_multi_cache:
             cfg = self.cfg
-            self._decode_multi_cache[mode] = jax.jit(
-                lambda p, c, t, sid, pos, key, step, tt, kk, tp, m=mode:
-                decode_multi(
-                    p, cfg, c, t, sid, pos, jax.random.fold_in(key, step),
-                    tt, kk, tp, n_steps=self.decode_chunk, sample_mode=m))
-        return self._decode_multi_cache[mode]
+            if controls:
+                self._decode_multi_cache[key] = jax.jit(
+                    lambda p, c, t, sid, pos, key_, step, tt, kk, tp,
+                    pres, pen, eos, mrem, m=mode:
+                    decode_multi(
+                        p, cfg, c, t, sid, pos,
+                        jax.random.fold_in(key_, step), tt, kk, tp,
+                        (pres, pen, eos, mrem),
+                        n_steps=self.decode_chunk, sample_mode=m))
+            else:
+                self._decode_multi_cache[key] = jax.jit(
+                    lambda p, c, t, sid, pos, key_, step, tt, kk, tp,
+                    m=mode:
+                    decode_multi(
+                        p, cfg, c, t, sid, pos,
+                        jax.random.fold_in(key_, step), tt, kk, tp,
+                        n_steps=self.decode_chunk, sample_mode=m))
+        return self._decode_multi_cache[key]
+
+    def _controls_arrays(self, reqs: List[Optional[Request]]):
+        """(presence, penalties, eos_ids, min_remaining) device arrays for
+        the logit-controls stage; row i covers reqs[i] (None = neutral)."""
+        b = len(reqs)
+        v = self.cfg.vocab_size
+        presence = np.zeros((b, v), bool)
+        pen = np.ones((b,), np.float32)
+        eos = np.full((b,), -1, np.int32)
+        mrem = np.zeros((b,), np.int32)
+        for i, r in enumerate(reqs):
+            if r is None:
+                continue
+            sp = r.sampling
+            pen[i] = sp.repetition_penalty
+            if sp.repetition_penalty != 1.0:
+                ctx = np.asarray(r.prompt + r.output, np.int32)
+                presence[i, ctx] = True
+            if r.eos_id is not None and sp.min_new_tokens > len(r.output):
+                eos[i] = r.eos_id
+                mrem[i] = sp.min_new_tokens - len(r.output)
+        return (jnp.asarray(presence), jnp.asarray(pen), jnp.asarray(eos),
+                jnp.asarray(mrem))
 
     # ---------------- host-side page-table management ----------------
 
@@ -614,6 +677,7 @@ class Engine:
 
     def _sample_rows(self, logits, reqs: List[Optional[Request]]) -> np.ndarray:
         """One batched sampler dispatch for len(reqs) rows (None = greedy)."""
+        from .sampling import uses_logit_controls
         t = np.zeros((len(reqs),), np.float32)
         k = np.zeros((len(reqs),), np.int32)
         p = np.ones((len(reqs),), np.float32)
@@ -624,9 +688,12 @@ class Engine:
                 p[i] = r.sampling.top_p
         self._sample_step += 1
         mode = pick_sample_mode([r.sampling for r in reqs if r is not None])
-        toks = self._sampler_for(mode)(
+        ctl = (self._controls_arrays(reqs)
+               if uses_logit_controls([r.sampling for r in reqs
+                                       if r is not None]) else ())
+        toks = self._sampler_for(mode, bool(ctl))(
             logits, self._base_key, jnp.int32(self._sample_step),
-            jnp.asarray(t), jnp.asarray(k), jnp.asarray(p))
+            jnp.asarray(t), jnp.asarray(k), jnp.asarray(p), *ctl)
         return np.asarray(toks)
 
     def _sample_from(self, logits, req: Request):
@@ -672,14 +739,21 @@ class Engine:
             handled = (self._prefill_batch_pass()
                        if self._can_batch_prefill else set())
         # piggybacking: ONE pending slot's next chunk rides the decode
-        # (or speculative) dispatch below instead of its own
+        # (or speculative) dispatch below instead of its own.  The fused
+        # programs have no logit-controls stage, so any slot requesting
+        # repetition_penalty / min_new_tokens keeps the separate path.
+        from .sampling import uses_logit_controls
+        ctl_live = uses_logit_controls(
+            [s.req.sampling for s in self.slots if s.req is not None])
         if self.dcaches is not None:
             ready_now = [i for i, s in enumerate(self.slots) if s.ready]
             piggy = (self._pick_piggy(handled)
                      if self._spec_piggyback_ok and ready_now
-                     and self._spec_ok(ready_now) else None)
+                     and not ctl_live and self._spec_ok(ready_now)
+                     else None)
         else:
-            piggy = self._pick_piggy(handled) if self._piggyback_ok else None
+            piggy = (self._pick_piggy(handled)
+                     if self._piggyback_ok and not ctl_live else None)
         # one prefill chunk per remaining pending slot per step: decode of
         # running sequences is never starved more than one chunk's latency
         for i, s in enumerate(self.slots):
@@ -769,13 +843,19 @@ class Engine:
             self._sample_step += 1
             mode = pick_sample_mode(
                 [s.req.sampling for s in self.slots if s.req is not None])
+            from .sampling import uses_logit_controls
+            live = [s.req if s.ready else None for s in self.slots]
+            ctl = (self._controls_arrays(live)
+                   if uses_logit_controls([r.sampling for r in live
+                                           if r is not None]) else ())
             with self._phase("decode"):
-                toks_dev, self.caches = self._decode_multi_for(mode)(
+                toks_dev, self.caches = self._decode_multi_for(
+                    mode, bool(ctl))(
                     self.params, self.caches, jnp.asarray(tokens),
                     jnp.asarray(seq_ids), jnp.asarray(positions),
                     self._base_key,
                     jnp.int32(self._sample_step), jnp.asarray(t),
-                    jnp.asarray(k), jnp.asarray(p))
+                    jnp.asarray(k), jnp.asarray(p), *ctl)
                 toks = np.asarray(toks_dev)              # (chunk, B)
         for j in range(toks.shape[0]):
             for i in active:
@@ -794,10 +874,12 @@ class Engine:
 
     def _spec_ok(self, active) -> bool:
         """Spec rounds preserve greedy/temperature sampling only; any
-        active top-k/top-p request falls back to normal decode chunks."""
+        active top-k/top-p/logit-controls request falls back to normal
+        decode chunks (the accept rule scores raw target logits)."""
         for i in active:
             sp = self.slots[i].req.sampling
-            if (sp.top_k and sp.top_k > 0) or sp.top_p < 1.0:
+            if (sp.top_k and sp.top_k > 0) or sp.top_p < 1.0 \
+                    or sp.repetition_penalty != 1.0 or sp.min_new_tokens > 0:
                 return False
         return True
 

@@ -215,7 +215,7 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
                  tokens: jnp.ndarray, seq_ids: jnp.ndarray,
                  positions: jnp.ndarray, key: jax.Array,
                  temps: jnp.ndarray, top_k: jnp.ndarray,
-                 top_p: jnp.ndarray, *, n_steps: int,
+                 top_p: jnp.ndarray, controls=None, *, n_steps: int,
                  step_fn=None, sample_mode: str = "full"
                  ) -> Tuple[jnp.ndarray, Caches]:
     """``n_steps`` decode+sample steps in ONE program (lax.scan).
@@ -227,22 +227,51 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
     host-side at eos/max_new_tokens (up to n_steps-1 speculative steps of
     waste per finishing sequence).
 
+    ``controls`` (optional, its presence is a static program variant):
+    (presence (B, V) bool, penalties (B,), eos_ids (B,), min_remaining
+    (B,)) — repetition penalty over context tokens (presence updated
+    in-scan as tokens are sampled) and eos suppression while fewer than
+    min_remaining tokens have been emitted this chunk.
+
     Returns (sampled tokens (n_steps, B) int32, updated caches).
     """
-    from .sampling import sample_batch
+    from .sampling import apply_logit_controls, sample_batch
 
     if step_fn is None:
         step_fn = decode_step
+    b = tokens.shape[0]
+
+    if controls is None:
+        def step(carry, i):
+            caches, toks, pos = carry
+            logits, caches = step_fn(params, cfg, caches, toks, seq_ids,
+                                     pos)
+            nxt = sample_batch(logits, jax.random.fold_in(key, i),
+                               temps, top_k, top_p, mode=sample_mode)
+            return (caches, nxt, pos + 1), nxt
+
+        (caches, _, _), out = jax.lax.scan(
+            step, (caches, tokens, positions),
+            jnp.arange(n_steps, dtype=jnp.int32))
+        return out, caches
+
+    presence0, penalties, eos_ids, min_remaining = controls
 
     def step(carry, i):
-        caches, toks, pos = carry
+        caches, toks, pos, presence = carry
         logits, caches = step_fn(params, cfg, caches, toks, seq_ids, pos)
-        nxt = sample_batch(logits, jax.random.fold_in(key, i),
+        v = logits.shape[-1]
+        suppress = jnp.logical_and(
+            (i < min_remaining)[:, None],
+            jnp.arange(v)[None, :] == eos_ids[:, None])
+        lg = apply_logit_controls(logits, presence, penalties, suppress)
+        nxt = sample_batch(lg, jax.random.fold_in(key, i),
                            temps, top_k, top_p, mode=sample_mode)
-        return (caches, nxt, pos + 1), nxt
+        presence = presence.at[jnp.arange(b), nxt].set(True)
+        return (caches, nxt, pos + 1, presence), nxt
 
-    (caches, _, _), out = jax.lax.scan(
-        step, (caches, tokens, positions),
+    (caches, _, _, _), out = jax.lax.scan(
+        step, (caches, tokens, positions, presence0),
         jnp.arange(n_steps, dtype=jnp.int32))
     return out, caches
 

@@ -15,9 +15,37 @@ import jax.numpy as jnp
 
 @dataclasses.dataclass(frozen=True)
 class SamplingParams:
-    temperature: float = 0.0   # 0 -> greedy
-    top_k: int = 0             # 0 -> disabled
-    top_p: float = 1.0         # 1 -> disabled
+    temperature: float = 0.0        # 0 -> greedy
+    top_k: int = 0                  # 0 -> disabled
+    top_p: float = 1.0              # 1 -> disabled
+    repetition_penalty: float = 1.0  # 1 -> disabled (HF rule)
+    min_new_tokens: int = 0          # suppress eos until this many emitted
+
+
+def uses_logit_controls(sampling_params) -> bool:
+    """True if any request needs the logit-controls stage (penalized /
+    eos-suppressed programs compile in only when actually requested)."""
+    return any(p is not None and (p.repetition_penalty != 1.0
+                                  or p.min_new_tokens > 0)
+               for p in sampling_params)
+
+
+def apply_logit_controls(logits: jnp.ndarray, presence: jnp.ndarray,
+                         penalties: jnp.ndarray,
+                         suppress: jnp.ndarray) -> jnp.ndarray:
+    """Pre-sampling logit transforms, one fused op over (B, V).
+
+    presence (B, V) bool — tokens present in the row's context (prompt +
+    generated); penalties (B,) — HF repetition-penalty rule on present
+    tokens (positive logits divided, negative multiplied; 1.0 = no-op);
+    suppress (B, V) bool — tokens forbidden this step (min_new_tokens
+    eos suppression).
+    """
+    x = logits.astype(jnp.float32)
+    p = penalties[:, None]
+    pen = jnp.where(x > 0, x / p, x * p)
+    x = jnp.where(jnp.logical_and(presence, p != 1.0), pen, x)
+    return jnp.where(suppress, -jnp.inf, x)
 
 
 def sample(logits: jnp.ndarray, key: jax.Array,

@@ -464,3 +464,69 @@ def test_engine_stop_ids(rng):
     Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
            prefill_buckets=(16,), decode_chunk=2).run([req])
     assert req.done and req.output == probe.output[:cut]
+
+
+def test_apply_logit_controls_numerics():
+    """HF repetition-penalty rule + eos suppression, bit-exact."""
+    from micromix_tpu.serve.sampling import apply_logit_controls
+
+    logits = jnp.asarray([[2.0, -1.0, 0.5, -3.0],
+                          [2.0, -1.0, 0.5, -3.0]], jnp.float32)
+    presence = jnp.asarray([[True, True, False, False],
+                            [False, False, False, False]])
+    pen = jnp.asarray([2.0, 2.0], jnp.float32)
+    suppress = jnp.zeros((2, 4), bool).at[1, 3].set(True)
+    out = np.asarray(apply_logit_controls(logits, presence, pen, suppress))
+    # row 0: token 0 (positive, present) halved; token 1 (negative) doubled
+    np.testing.assert_allclose(out[0], [1.0, -2.0, 0.5, -3.0])
+    # row 1: nothing present; eos (3) suppressed
+    assert out[1, 3] == -np.inf
+    np.testing.assert_allclose(out[1, :3], [2.0, -1.0, 0.5])
+
+
+def test_engine_repetition_penalty(rng):
+    """A huge penalty bans every context token under greedy decoding, so
+    the output never repeats a prompt or generated token (robust to
+    cross-program argmax noise, unlike exact-token checks)."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=62)
+    prompt = list(rng.integers(0, cfg.vocab_size, 8))
+    req = Request(req_id=0, prompt=list(prompt), max_new_tokens=8,
+                  sampling=SamplingParams(repetition_penalty=1e6))
+    eng = Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+                 prefill_buckets=(16,), decode_chunk=3)
+    eng.run([req])
+    assert req.done and len(req.output) == 8
+    seen = set(prompt)
+    for t in req.output:
+        assert t not in seen, f"penalized token {t} re-emitted"
+        seen.add(t)
+    # the penalized programs actually compiled in
+    assert any(k[1] for k in eng._decode_multi_cache)
+
+
+def test_engine_min_new_tokens(rng):
+    """min_new_tokens suppresses eos until the floor is reached; without
+    it the same eos ends the request immediately."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=63)
+    prompt = list(rng.integers(0, cfg.vocab_size, 7))
+
+    probe = Request(req_id=0, prompt=list(prompt), max_new_tokens=6)
+    Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+           prefill_buckets=(16,), decode_chunk=2).run([probe])
+    eos = probe.output[0]  # greedy first token as eos -> stops at 1 token
+
+    r_plain = Request(req_id=0, prompt=list(prompt), max_new_tokens=6,
+                      eos_id=eos)
+    Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+           prefill_buckets=(16,), decode_chunk=2).run([r_plain])
+    assert r_plain.output == [eos]
+
+    r_min = Request(req_id=0, prompt=list(prompt), max_new_tokens=6,
+                    eos_id=eos,
+                    sampling=SamplingParams(min_new_tokens=4))
+    Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+           prefill_buckets=(16,), decode_chunk=2).run([r_min])
+    assert len(r_min.output) >= 4
+    assert eos not in r_min.output[:3]

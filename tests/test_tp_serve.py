@@ -304,3 +304,28 @@ def test_tp_engine_hetero_speculative(rng):
     for r in reqs:
         assert r.done and len(r.output) == 5
     assert eng.spec_proposed > 0
+
+
+def test_tp_engine_repetition_penalty(rng):
+    """Logit controls through the shard-mapped decode programs: a huge
+    penalty bans context tokens on the TP engine too ((mode, True)
+    program variant)."""
+    from micromix_tpu.serve.sampling import SamplingParams
+
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=43)
+    calibs = default_calibration(cfg, p6=0, p8=0)
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    eng = make_tp_engine(quantize_model_tp(dense, cfg, calibs, 2), cfg,
+                         mesh, max_seqs=2, page_size=16,
+                         max_pages_per_seq=8, prefill_buckets=(16,),
+                         decode_chunk=2)
+    prompt = list(np.random.default_rng(31).integers(0, cfg.vocab_size, 8))
+    req = Request(req_id=0, prompt=list(prompt), max_new_tokens=6,
+                  sampling=SamplingParams(repetition_penalty=1e6))
+    eng.run([req])
+    assert req.done and len(req.output) == 6
+    seen = set(prompt)
+    for t in req.output:
+        assert t not in seen
+        seen.add(t)
