@@ -34,6 +34,7 @@ def _run(mod_name, argv):
 @pytest.mark.parametrize("mod", [
     "bench_gemm", "bench_quantize", "bench_quantize_gemm",
     "bench_formats", "bench_bf16", "bench_fused",
+    "bench_flash_prefill",
 ])
 def test_bench_quick(mod):
     _run(mod, ["--quick"])
