@@ -310,14 +310,14 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
     def cache_specs(caches):
         return [_cache_spec(c) for c in caches]
 
-    def mk(body, extra_scalar_args):
+    def mk(body, extra_scalar_args, n_lead_outs=1):
         def wrapped(p, c, *args):
             scal = (P(),) * extra_scalar_args
             fn = jax.shard_map(
                 functools.partial(body, cfg_l=cfg_l),
                 mesh=mesh,
                 in_specs=(pspecs, cache_specs(c)) + (P(),) + scal,
-                out_specs=(P(), cache_specs(c)),
+                out_specs=(P(),) * n_lead_outs + (cache_specs(c),),
                 check_vma=False,
             )
             return fn(p, c, *args)
@@ -328,34 +328,28 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
     decode_fn = mk(lambda p, c, t, sid, pos, cfg_l: tp_decode_step(
         p, cfg_l, c, t, sid, pos), 2)
 
-    def multi_body(p, c, t, sid, pos, key, step, tt, kk, tp_, cfg_l,
-                   mode="full"):
+    def multi_body(p, c, t, sid, pos, key, step, tt, kk, tp_, *ctl_args,
+                   cfg_l, mode="full", logprobs=False):
         return decode_multi(
             p, cfg_l, c, t, sid, pos, jax.random.fold_in(key, step),
-            tt, kk, tp_, n_steps=decode_chunk, sample_mode=mode,
-            step_fn=lambda prm, cl, cc, tk, si, po: tp_decode_step(
-                prm, cl, cc, tk, si, po))
-
-    def multi_body_ctl(p, c, t, sid, pos, key, step, tt, kk, tp_,
-                       pres, pen, eos, mrem, cfg_l, mode="full"):
-        return decode_multi(
-            p, cfg_l, c, t, sid, pos, jax.random.fold_in(key, step),
-            tt, kk, tp_, (pres, pen, eos, mrem), n_steps=decode_chunk,
-            sample_mode=mode,
+            tt, kk, tp_, ctl_args if ctl_args else None,
+            n_steps=decode_chunk, sample_mode=mode, with_logprobs=logprobs,
             step_fn=lambda prm, cl, cc, tk, si, po: tp_decode_step(
                 prm, cl, cc, tk, si, po))
     # per-sample-mode programs: the 'full' sampler argsorts the whole vocab
     # (~100 ms/step at V=32k, docs/perf_notes.md) and must only compile in
     # when a request actually uses top-p — mirrors Engine._decode_multi_cache.
-    # Keys (mode, controls): the controls variant adds the repetition-
+    # Keys (mode, controls, logprobs): controls adds the repetition-
     # penalty / eos-suppression stage (replicated (B, V) presence — tiny
-    # next to the sharded weights) and only compiles when requested.
+    # next to the sharded weights), logprobs adds chosen-token
+    # log-probabilities; each variant only compiles when requested.
     decode_multi_fns = {}
     for m in ("simple", "topk", "full"):
-        decode_multi_fns[(m, False)] = mk(
-            functools.partial(multi_body, mode=m), 7)
-        decode_multi_fns[(m, True)] = mk(
-            functools.partial(multi_body_ctl, mode=m), 11)
+        for ctl in (False, True):
+            for lp in (False, True):
+                decode_multi_fns[(m, ctl, lp)] = mk(
+                    functools.partial(multi_body, mode=m, logprobs=lp),
+                    11 if ctl else 7, n_lead_outs=2 if lp else 1)
 
     def prefill_hist(hist_len: int):
         """Chunked-prefill step specialized on the static history length."""

@@ -43,8 +43,12 @@ class Request:
     # streaming: called with each emitted token id as it is produced
     # (chunked decode delivers tokens in bursts of up to decode_chunk)
     on_token: Optional[Any] = None
+    # return each chosen token's RAW model log-probability (log_softmax
+    # of the un-tempered logits, OpenAI-style) in token_logprobs
+    logprobs: bool = False
     # filled by the engine
     output: List[int] = dataclasses.field(default_factory=list)
+    token_logprobs: List[float] = dataclasses.field(default_factory=list)
     done: bool = False
 
 
@@ -275,61 +279,58 @@ class Engine:
         finally:
             self.phase_s[name] += time.perf_counter() - t0
 
-    def _sampler_for(self, mode: str, controls: bool = False):
+    def _sampler_for(self, mode: str, controls: bool = False,
+                     logprobs: bool = False):
         from .sampling import apply_logit_controls
-        key = (mode, controls)
+        key = (mode, controls, logprobs)
         if key not in self._sampler_cache:
-            if controls:
-                self._sampler_cache[key] = jax.jit(
-                    lambda lg, key_, step, t, k, tp, pres, pen, eos, mrem,
-                    m=mode: sample_batch(
-                        apply_logit_controls(
-                            lg, pres, pen,
-                            jnp.logical_and(
-                                (mrem > 0)[:, None],
-                                jnp.arange(lg.shape[1])[None, :]
-                                == eos[:, None])),
-                        jax.random.fold_in(key_, step), t, k, tp, mode=m))
-            else:
-                self._sampler_cache[key] = jax.jit(
-                    lambda lg, key_, step, t, k, tp, m=mode: sample_batch(
-                        lg, jax.random.fold_in(key_, step), t, k, tp,
-                        mode=m))
+            def run(lg, key_, step, t, k, tp, *ctl, m=mode):
+                x = lg
+                if ctl:
+                    pres, pen, eos, mrem = ctl
+                    x = apply_logit_controls(
+                        lg, pres, pen,
+                        jnp.logical_and(
+                            (mrem > 0)[:, None],
+                            jnp.arange(lg.shape[1])[None, :]
+                            == eos[:, None]))
+                toks = sample_batch(x, jax.random.fold_in(key_, step),
+                                    t, k, tp, mode=m)
+                if not logprobs:
+                    return toks
+                lps = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+                return toks, lps[jnp.arange(lg.shape[0]), toks]
+            self._sampler_cache[key] = jax.jit(run)
         return self._sampler_cache[key]
 
-    def _decode_multi_for(self, mode: str, controls: bool = False):
+    def _decode_multi_for(self, mode: str, controls: bool = False,
+                          logprobs: bool = False):
         if self._custom_decode_multi is not None:
             cdm = self._custom_decode_multi
             if isinstance(cdm, dict):
-                if (mode, controls) in cdm:
-                    return cdm[(mode, controls)]
-                if not controls and mode in cdm:
-                    return cdm[mode]
-            elif not controls:
+                for k in ((mode, controls, logprobs),
+                          *(((mode, controls),) if not logprobs else ()),
+                          *((mode,) if not (controls or logprobs) else ())):
+                    if k in cdm:
+                        return cdm[k]
+            elif not (controls or logprobs):
                 return cdm
-            raise ValueError("custom decode_multi lacks a logit-controls "
-                             "variant for repetition_penalty / "
-                             "min_new_tokens requests")
-        key = (mode, controls)
+            raise ValueError("custom decode_multi lacks the requested "
+                             "variant (controls=%s, logprobs=%s)"
+                             % (controls, logprobs))
+        key = (mode, controls, logprobs)
         if key not in self._decode_multi_cache:
             cfg = self.cfg
-            if controls:
-                self._decode_multi_cache[key] = jax.jit(
-                    lambda p, c, t, sid, pos, key_, step, tt, kk, tp,
-                    pres, pen, eos, mrem, m=mode:
-                    decode_multi(
-                        p, cfg, c, t, sid, pos,
-                        jax.random.fold_in(key_, step), tt, kk, tp,
-                        (pres, pen, eos, mrem),
-                        n_steps=self.decode_chunk, sample_mode=m))
-            else:
-                self._decode_multi_cache[key] = jax.jit(
-                    lambda p, c, t, sid, pos, key_, step, tt, kk, tp,
-                    m=mode:
-                    decode_multi(
-                        p, cfg, c, t, sid, pos,
-                        jax.random.fold_in(key_, step), tt, kk, tp,
-                        n_steps=self.decode_chunk, sample_mode=m))
+
+            def run(p, c, t, sid, pos, key_, step, tt, kk, tp, *ctl,
+                    m=mode):
+                return decode_multi(
+                    p, cfg, c, t, sid, pos,
+                    jax.random.fold_in(key_, step), tt, kk, tp,
+                    ctl if ctl else None,
+                    n_steps=self.decode_chunk, sample_mode=m,
+                    with_logprobs=logprobs)
+            self._decode_multi_cache[key] = jax.jit(run)
         return self._decode_multi_cache[key]
 
     def _controls_arrays(self, reqs: List[Optional[Request]]):
@@ -609,8 +610,8 @@ class Engine:
                 self.dcaches, jnp.asarray(ok, dtype=jnp.int32),
                 jnp.asarray(lens))
         # ok slots occupy the first len(ok) batch rows by construction
-        firsts = self._sample_rows(logits[:len(ok)],
-                                   [self.slots[i].req for i in ok])
+        firsts, flps = self._sample_rows(logits[:len(ok)],
+                                         [self.slots[i].req for i in ok])
         now = time.time()
         for row, i in enumerate(ok):
             slot = self.slots[i]
@@ -620,7 +621,8 @@ class Engine:
             self.prefill_tokens += n
             self.ttft.setdefault(slot.req.req_id,
                                  now - self._t_submit[slot.req.req_id])
-            self._emit(i, int(firsts[row]))
+            self._emit(i, int(firsts[row]),
+                       float(flps[row]) if flps is not None else None)
         return set(ok)
 
     def _prefill_step(self, slot_id: int) -> bool:
@@ -668,15 +670,17 @@ class Engine:
         slot.pending = slot.pending[n:]
         self.prefill_tokens += n
         if not slot.pending:
-            first = self._sample_from(logits, slot.req)
+            first, first_lp = self._sample_from(logits, slot.req)
             self.ttft.setdefault(
                 slot.req.req_id,
                 time.time() - self._t_submit[slot.req.req_id])
-            self._emit(slot_id, first)
+            self._emit(slot_id, first, first_lp)
         return True
 
-    def _sample_rows(self, logits, reqs: List[Optional[Request]]) -> np.ndarray:
-        """One batched sampler dispatch for len(reqs) rows (None = greedy)."""
+    def _sample_rows(self, logits, reqs: List[Optional[Request]]):
+        """One batched sampler dispatch for len(reqs) rows (None = greedy).
+
+        Returns (tokens (B,) np, logprobs (B,) np or None)."""
         from .sampling import uses_logit_controls
         t = np.zeros((len(reqs),), np.float32)
         k = np.zeros((len(reqs),), np.int32)
@@ -691,18 +695,25 @@ class Engine:
         ctl = (self._controls_arrays(reqs)
                if uses_logit_controls([r.sampling for r in reqs
                                        if r is not None]) else ())
-        toks = self._sampler_for(mode, bool(ctl))(
+        lp = any(r is not None and r.logprobs for r in reqs)
+        out = self._sampler_for(mode, bool(ctl), lp)(
             logits, self._base_key, jnp.int32(self._sample_step),
             jnp.asarray(t), jnp.asarray(k), jnp.asarray(p), *ctl)
-        return np.asarray(toks)
+        if lp:
+            return np.asarray(out[0]), np.asarray(out[1])
+        return np.asarray(out), None
 
     def _sample_from(self, logits, req: Request):
-        return int(self._sample_rows(logits, [req])[0])
+        toks, lps = self._sample_rows(logits, [req])
+        return int(toks[0]), (float(lps[0]) if lps is not None else None)
 
-    def _emit(self, slot_id: int, token: int) -> None:
+    def _emit(self, slot_id: int, token: int,
+              lp: Optional[float] = None) -> None:
         slot = self.slots[slot_id]
         req = slot.req
         req.output.append(token)
+        if req.logprobs and lp is not None:
+            req.token_logprobs.append(lp)
         if req.on_token is not None:
             req.on_token(token)
         if (req.eos_id is not None and token == req.eos_id) or \
@@ -744,7 +755,9 @@ class Engine:
         # repetition_penalty / min_new_tokens keeps the separate path.
         from .sampling import uses_logit_controls
         ctl_live = uses_logit_controls(
-            [s.req.sampling for s in self.slots if s.req is not None])
+            [s.req.sampling for s in self.slots if s.req is not None]) \
+            or any(s.req is not None and s.req.logprobs
+                   for s in self.slots)
         if self.dcaches is not None:
             ready_now = [i for i, s in enumerate(self.slots) if s.ready]
             piggy = (self._pick_piggy(handled)
@@ -821,6 +834,7 @@ class Engine:
         piggy_live = (piggy is not None
                       and self.slots[piggy].req is not None
                       and self.slots[piggy].pending)
+        lps = None
         if piggy_live:
             with self._phase("mixed"):
                 toks = self._piggy_decode(piggy, tokens, seq_ids, positions)
@@ -829,8 +843,10 @@ class Engine:
                 logits, self.caches = self._decode(
                     self.params, self.caches, jnp.asarray(tokens),
                     jnp.asarray(seq_ids), jnp.asarray(positions))
-                toks = self._sample_rows(
-                    logits, [s.req for s in self.slots])[None, :]
+                toks, lp1 = self._sample_rows(
+                    logits, [s.req for s in self.slots])
+                toks = toks[None, :]
+                lps = lp1[None, :] if lp1 is not None else None
         else:
             t = np.zeros((self.max_seqs,), np.float32)
             k = np.zeros((self.max_seqs,), np.int32)
@@ -848,14 +864,19 @@ class Engine:
             ctl = (self._controls_arrays(live)
                    if uses_logit_controls([r.sampling for r in live
                                            if r is not None]) else ())
+            need_lp = any(r is not None and r.logprobs for r in live)
             with self._phase("decode"):
-                toks_dev, self.caches = self._decode_multi_for(
-                    mode, bool(ctl))(
+                out = self._decode_multi_for(mode, bool(ctl), need_lp)(
                     self.params, self.caches, jnp.asarray(tokens),
                     jnp.asarray(seq_ids), jnp.asarray(positions),
                     self._base_key,
                     jnp.int32(self._sample_step), jnp.asarray(t),
                     jnp.asarray(k), jnp.asarray(p), *ctl)
+                if need_lp:
+                    toks_dev, lps_dev, self.caches = out
+                    lps = np.asarray(lps_dev)            # (chunk, B)
+                else:
+                    toks_dev, self.caches = out
                 toks = np.asarray(toks_dev)              # (chunk, B)
         for j in range(toks.shape[0]):
             for i in active:
@@ -867,7 +888,8 @@ class Engine:
                 self.ttft.setdefault(
                     s.req.req_id,
                     time.time() - self._t_submit[s.req.req_id])
-                self._emit(i, int(toks[j, i]))
+                self._emit(i, int(toks[j, i]),
+                           float(lps[j, i]) if lps is not None else None)
         return True
 
     # ---------------- speculative decode phase ----------------
@@ -877,9 +899,11 @@ class Engine:
         active top-k/top-p/logit-controls request falls back to normal
         decode chunks (the accept rule scores raw target logits)."""
         for i in active:
-            sp = self.slots[i].req.sampling
+            req = self.slots[i].req
+            sp = req.sampling
             if (sp.top_k and sp.top_k > 0) or sp.top_p < 1.0 \
-                    or sp.repetition_penalty != 1.0 or sp.min_new_tokens > 0:
+                    or sp.repetition_penalty != 1.0 \
+                    or sp.min_new_tokens > 0 or req.logprobs:
                 return False
         return True
 

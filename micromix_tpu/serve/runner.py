@@ -216,8 +216,8 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
                  positions: jnp.ndarray, key: jax.Array,
                  temps: jnp.ndarray, top_k: jnp.ndarray,
                  top_p: jnp.ndarray, controls=None, *, n_steps: int,
-                 step_fn=None, sample_mode: str = "full"
-                 ) -> Tuple[jnp.ndarray, Caches]:
+                 step_fn=None, sample_mode: str = "full",
+                 with_logprobs: bool = False):
     """``n_steps`` decode+sample steps in ONE program (lax.scan).
 
     Amortizes host dispatch over a chunk of steps — on the axon tunnel a
@@ -233,13 +233,23 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
     in-scan as tokens are sampled) and eos suppression while fewer than
     min_remaining tokens have been emitted this chunk.
 
-    Returns (sampled tokens (n_steps, B) int32, updated caches).
+    ``with_logprobs`` (static) additionally returns the chosen tokens'
+    RAW model log-probabilities (log_softmax of the un-tempered,
+    un-penalized logits — the OpenAI-style definition), shape
+    (n_steps, B) f32, between the tokens and the caches.
+
+    Returns (sampled tokens (n_steps, B) int32[, logprobs], updated
+    caches).
     """
     from .sampling import apply_logit_controls, sample_batch
 
     if step_fn is None:
         step_fn = decode_step
     b = tokens.shape[0]
+
+    def chosen_lp(logits, nxt):
+        lps = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        return lps[jnp.arange(b), nxt]
 
     if controls is None:
         def step(carry, i):
@@ -248,11 +258,14 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
                                      pos)
             nxt = sample_batch(logits, jax.random.fold_in(key, i),
                                temps, top_k, top_p, mode=sample_mode)
-            return (caches, nxt, pos + 1), nxt
+            out = (nxt, chosen_lp(logits, nxt)) if with_logprobs else nxt
+            return (caches, nxt, pos + 1), out
 
         (caches, _, _), out = jax.lax.scan(
             step, (caches, tokens, positions),
             jnp.arange(n_steps, dtype=jnp.int32))
+        if with_logprobs:
+            return out[0], out[1], caches
         return out, caches
 
     presence0, penalties, eos_ids, min_remaining = controls
@@ -268,11 +281,14 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
         nxt = sample_batch(lg, jax.random.fold_in(key, i),
                            temps, top_k, top_p, mode=sample_mode)
         presence = presence.at[jnp.arange(b), nxt].set(True)
-        return (caches, nxt, pos + 1, presence), nxt
+        out = (nxt, chosen_lp(logits, nxt)) if with_logprobs else nxt
+        return (caches, nxt, pos + 1, presence), out
 
     (caches, _, _, _), out = jax.lax.scan(
         step, (caches, tokens, positions, presence0),
         jnp.arange(n_steps, dtype=jnp.int32))
+    if with_logprobs:
+        return out[0], out[1], caches
     return out, caches
 
 

@@ -530,3 +530,54 @@ def test_engine_min_new_tokens(rng):
            prefill_buckets=(16,), decode_chunk=2).run([r_min])
     assert len(r_min.output) >= 4
     assert eos not in r_min.output[:3]
+
+
+def test_engine_logprobs(rng):
+    """Request.logprobs returns one raw-model log-probability per emitted
+    token; enabling it must not perturb greedy sampling, and the values
+    must match a teacher-forced log_softmax of the decode chain."""
+    import dataclasses as dc
+    from micromix_tpu.serve.kv_cache import make_cache
+    from micromix_tpu.serve.runner import decode_step, prefill
+
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=64)
+    prompt = list(rng.integers(0, cfg.vocab_size, 9))
+
+    def run(lp):
+        req = Request(req_id=0, prompt=list(prompt), max_new_tokens=5,
+                      logprobs=lp)
+        Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+               prefill_buckets=(16,), decode_chunk=2).run([req])
+        return req
+
+    base = run(False)
+    assert base.token_logprobs == []
+    req = run(True)
+    assert req.output == base.output      # logprobs don't perturb sampling
+    assert len(req.token_logprobs) == len(req.output)
+    assert all(np.isfinite(v) and v <= 0.0 for v in req.token_logprobs)
+
+    # teacher-force the same stream and compare log_softmax values
+    caches = [make_cache(17, 16, cfg.num_kv_heads, cfg.head_dim, 2, 8,
+                         bits=4) for _ in range(cfg.num_layers)]
+    row = jnp.asarray([1, 2, 0, 0, 0, 0, 0, 0], jnp.int32)
+    caches = [dc.replace(c, page_table=c.page_table.at[0].set(row))
+              for c in caches]
+    toks = np.zeros((1, 16), np.int32)
+    toks[0, :len(prompt)] = prompt
+    logits, caches = prefill(params, cfg, caches, jnp.asarray(toks),
+                             jnp.int32(0), jnp.int32(0),
+                             jnp.int32(len(prompt) - 1))
+    caches = [dc.replace(c, lengths=c.lengths.at[0].set(len(prompt)))
+              for c in caches]
+    want = [float(jax.nn.log_softmax(logits[0])[req.output[0]])]
+    cur, pos = req.output[0], len(prompt)
+    for nxt in req.output[1:]:
+        lg, caches = decode_step(params, cfg, caches,
+                                 jnp.asarray([cur], jnp.int32),
+                                 jnp.asarray([0], jnp.int32),
+                                 jnp.asarray([pos], jnp.int32))
+        want.append(float(jax.nn.log_softmax(lg[0])[nxt]))
+        cur, pos = nxt, pos + 1
+    np.testing.assert_allclose(req.token_logprobs, want, atol=0.05)

@@ -329,3 +329,29 @@ def test_tp_engine_repetition_penalty(rng):
     for t in req.output:
         assert t not in seen
         seen.add(t)
+
+
+def test_tp_engine_logprobs(rng):
+    """Logprobs through the shard-mapped decode programs: same greedy
+    stream as logprobs-off, one finite logprob per token."""
+    cfg = _cfg()
+    dense = random_dense_params(cfg, seed=47)
+    calibs = default_calibration(cfg, p6=0, p8=0)
+    mesh = make_mesh(data=1, model=2, devices=jax.devices()[:2])
+    prompt = list(np.random.default_rng(37).integers(0, cfg.vocab_size, 8))
+
+    def run(lp):
+        eng = make_tp_engine(quantize_model_tp(dense, cfg, calibs, 2), cfg,
+                             mesh, max_seqs=2, page_size=16,
+                             max_pages_per_seq=8, prefill_buckets=(16,),
+                             decode_chunk=2)
+        req = Request(req_id=0, prompt=list(prompt), max_new_tokens=5,
+                      logprobs=lp)
+        eng.run([req])
+        return req
+
+    base = run(False)
+    req = run(True)
+    assert req.output == base.output
+    assert len(req.token_logprobs) == 5
+    assert all(np.isfinite(v) and v <= 0.0 for v in req.token_logprobs)
