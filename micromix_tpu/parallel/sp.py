@@ -12,7 +12,7 @@ mesh's "seq" axis:
     offset by the shard's global position — one all-gather per layer, no
     score-matrix resharding
 
-Two attention variants:
+Three attention variants:
 
   * gather-KV (default): one all-gather of K/V over "seq" per layer, then
     local-Q x global-KV with an offset causal mask — simplest, memory
@@ -23,6 +23,12 @@ Two attention variants:
     step i+1 overlaps the block math of step i (XLA async collectives).
     Fully-masked blocks (future shards under causality) are skipped
     arithmetically via the mask, costing only their ring hop.
+  * ULYSSES (``attn="ulysses"``, DeepSpeed-Ulysses-style): one all-to-all
+    swaps the sequence sharding for HEAD sharding — each device computes
+    exact full-sequence attention on H/sp heads, then a second all-to-all
+    swaps back.  Two collectives/layer moving O(S/sp · H · D) each (they
+    ride ICI), no per-step recurrence, and the score matrix stays one
+    attention call — the TPU-friendly choice when H % sp == 0.
 
 Works for dense and quantized parameter pytrees; the Pallas kernels run
 unchanged inside shard_map on local shards.
@@ -31,7 +37,7 @@ unchanged inside shard_map on local shards.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -92,9 +98,36 @@ def _ring_attention(q, k, v, *, offset, sp: int,
     return out.transpose(0, 2, 1, 3).astype(q.dtype)   # (B, s_loc, H, D)
 
 
+def _ulysses_attention(q, k, v, *, sp: int, window) -> jnp.ndarray:
+    """All-to-all sequence parallelism (DeepSpeed-Ulysses style).
+
+    q/k/v (B, S/sp, H|Hkv, D) seq-local in, (B, S/sp, H, D) seq-local
+    out.  One all-to-all turns seq-sharding into head-sharding (each
+    device sees the FULL sequence for H/sp heads — attention is exact,
+    no recurrence), a second turns it back.  Needs H and Hkv divisible
+    by sp (GQA: shard KV heads too; the repeat happens inside
+    attention()).
+    """
+    b, s_loc, h, d = q.shape
+    hkv = k.shape[2]
+    assert h % sp == 0 and hkv % sp == 0, (h, hkv, sp)
+    a2a = functools.partial(jax.lax.all_to_all, axis_name="seq",
+                            tiled=True)
+    qg = a2a(q, split_axis=2, concat_axis=1)        # (B, S, H/sp, D)
+    kg = a2a(k, split_axis=2, concat_axis=1)        # (B, S, Hkv/sp, D)
+    vg = a2a(v, split_axis=2, concat_axis=1)
+    s_global = s_loc * sp
+    mask = causal_mask(s_global, s_global, window)
+    out = attention(qg, kg, vg, mask)               # (B, S, H/sp, D)
+    out = out.reshape(b, s_global, h // sp, d)
+    return a2a(out, split_axis=1, concat_axis=2)    # (B, S/sp, H, D)
+
+
 def _sp_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask, *,
-                      ring: bool = False, sp: int = 1, offset=None):
-    """One decoder layer on a local S-shard; K/V gathered or ring-passed."""
+                      attn: str = "gather", sp: int = 1, offset=None):
+    """One decoder layer on a local S-shard; attention per ``attn``:
+    "gather" (all-gather K/V), "ring" (ppermute recurrence), or
+    "ulysses" (all-to-all head swap)."""
     from ..models.transformer import _is_quant  # local import to avoid cycle
     from ..models.common import apply_rope, project_all
 
@@ -107,9 +140,13 @@ def _sp_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask, *,
     v = v.reshape(b, s_loc, nkv, hd)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    if ring:
+    if attn == "ring":
         out = _ring_attention(q, k, v, offset=offset, sp=sp,
                               window=cfg.sliding_window)
+        out = out.reshape(b, s_loc, nh * hd)
+    elif attn == "ulysses":
+        out = _ulysses_attention(q, k, v, sp=sp,
+                                 window=cfg.sliding_window)
         out = out.reshape(b, s_loc, nh * hd)
     else:
         # gather K/V to full sequence; Q stays local
@@ -127,7 +164,7 @@ def _sp_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask, *,
 
 def sp_forward_local(params: Params, tokens_local: jnp.ndarray, *,
                      cfg: ModelConfig, s_global: int,
-                     ring: bool = False, sp: int = 1) -> jnp.ndarray:
+                     attn: str = "gather", sp: int = 1) -> jnp.ndarray:
     """Body run per device inside shard_map.  tokens_local (B, S/sp)."""
     b, s_loc = tokens_local.shape
     idx = jax.lax.axis_index("seq")
@@ -139,7 +176,7 @@ def sp_forward_local(params: Params, tokens_local: jnp.ndarray, *,
     # local-Q rows attend over the full gathered K/V with global offsets
     mask = causal_mask(s_loc, s_global, cfg.sliding_window, offset=offset)
     for p in params["layers"]:
-        h = _sp_decoder_layer(h, p, cfg, cos, sin, mask, ring=ring, sp=sp,
+        h = _sp_decoder_layer(h, p, cfg, cos, sin, mask, attn=attn, sp=sp,
                               offset=offset)
     h = rmsnorm(h, params["final_ln"], cfg.rms_eps)
     return jnp.dot(h, params["lm_head"].T.astype(jnp.bfloat16),
@@ -148,19 +185,24 @@ def sp_forward_local(params: Params, tokens_local: jnp.ndarray, *,
 
 def sequence_parallel_forward(params: Params, cfg: ModelConfig,
                               tokens: jnp.ndarray, mesh: Mesh, *,
-                              ring: bool = False) -> jnp.ndarray:
+                              ring: bool = False,
+                              attn: Optional[str] = None) -> jnp.ndarray:
     """tokens (B, S) with S % mesh["seq"] == 0 -> logits (B, S, V).
 
-    ring=True uses ring attention (O(S/sp) peak K/V memory per device,
-    ppermute pipeline) instead of the all-gather variant.
+    ``attn`` picks the attention variant: "gather" (default), "ring"
+    (O(S/sp) peak K/V memory per device, ppermute pipeline), or
+    "ulysses" (all-to-all head swap, exact full-sequence attention on
+    H/sp heads per device).  ``ring=True`` is kept as an alias for
+    attn="ring".
     """
     sp = mesh.shape["seq"]
     b, s = tokens.shape
     assert s % sp == 0, (s, sp)
+    variant = attn or ("ring" if ring else "gather")
 
     fn = jax.shard_map(
-        functools.partial(sp_forward_local, cfg=cfg, s_global=s, ring=ring,
-                          sp=sp),
+        functools.partial(sp_forward_local, cfg=cfg, s_global=s,
+                          attn=variant, sp=sp),
         mesh=mesh,
         in_specs=(P(), P(None, "seq")),
         out_specs=P(None, "seq", None),

@@ -121,3 +121,46 @@ def test_ring_attention_matches_gather_variant(rng):
     np.testing.assert_allclose(np.asarray(ring, np.float32),
                                np.asarray(gather, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_ulysses_attention_matches_gather_variant(rng):
+    """Ulysses (all-to-all head swap) == gather-KV sequence parallelism.
+    Attention is EXACT full-sequence per head subset, so agreement is
+    tighter than the ring recurrence; dense and quantized, with window."""
+    import dataclasses
+    from micromix_tpu.models import default_calibration, quantize_model
+    from micromix_tpu.parallel import make_mesh
+    from micromix_tpu.parallel.sp import sequence_parallel_forward
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=4,
+                      num_kv_heads=4, head_dim=32, rope_theta=10000.0,
+                      rms_eps=1e-6)
+    dense = random_dense_params(cfg, seed=71)
+    toks = jnp.asarray(rng.integers(0, 64, (1, 32)), jnp.int32)
+    mesh = make_mesh(seq=4, devices=jax.devices()[:4])
+    gather = sequence_parallel_forward(dense, cfg, toks, mesh)
+    uly = sequence_parallel_forward(dense, cfg, toks, mesh, attn="ulysses")
+    np.testing.assert_allclose(np.asarray(uly, np.float32),
+                               np.asarray(gather, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+    qparams = quantize_model(dense, cfg,
+                             default_calibration(cfg, p6=0, p8=0))
+    qg = sequence_parallel_forward(qparams, cfg, toks, mesh)
+    qu = sequence_parallel_forward(qparams, cfg, toks, mesh,
+                                   attn="ulysses")
+    close = np.isclose(np.asarray(qu, np.float32),
+                       np.asarray(qg, np.float32), rtol=3e-2, atol=3e-2)
+    assert close.mean() > 0.999
+
+    # sliding window threads through (GQA: kv heads sharded too)
+    wcfg = dataclasses.replace(cfg, num_kv_heads=2, sliding_window=12)
+    wdense = random_dense_params(wcfg, seed=72)
+    wmesh = make_mesh(seq=2, devices=jax.devices()[:2])
+    wg = sequence_parallel_forward(wdense, wcfg, toks, wmesh)
+    wu = sequence_parallel_forward(wdense, wcfg, toks, wmesh,
+                                   attn="ulysses")
+    np.testing.assert_allclose(np.asarray(wu, np.float32),
+                               np.asarray(wg, np.float32),
+                               rtol=3e-2, atol=3e-2)
