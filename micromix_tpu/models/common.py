@@ -353,20 +353,14 @@ def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
     if not quantized:
         xn = rmsnorm(x, norm_gamma, rms_eps) if norm_gamma is not None else x
         return [lin(xn) for lin in linears]
-    from .hetero import FakeQuantSite, fakequant_site
+    from .hetero import FakeQuantSite, fakequant_site, rmsnorm_fakequant
     if isinstance(site, FakeQuantSite):
         # heterogeneous-budget path (models/hetero.py): budgets are data,
-        # quantization goes straight to the exact bf16 grid image.  The
-        # norm stays f32 into the quantizer — same as the fused
-        # rmsnorm_quantize_x (no intermediate bf16 round).
-        if norm_gamma is not None:
-            xf = x.astype(jnp.float32)
-            rvar = jax.lax.rsqrt(
-                jnp.mean(xf * xf, axis=-1, keepdims=True) + rms_eps)
-            xn = xf * rvar * norm_gamma.astype(jnp.float32)
-        else:
-            xn = x
-        qx = fakequant_site(xn, site).reshape(-1, x.shape[-1])
+        # quantization goes straight to the exact bf16 grid image
+        # (rmsnorm_fakequant holds the no-intermediate-bf16-round rule).
+        qx = (rmsnorm_fakequant(x, norm_gamma, site, rms_eps)
+              if norm_gamma is not None
+              else fakequant_site(x, site)).reshape(-1, x.shape[-1])
         return [lin(qx).reshape(*lead, -1) for lin in linears]
     from ..mx.scaledw8 import ScaledW8
     if all(isinstance(lin.w, ScaledW8) for lin in linears):

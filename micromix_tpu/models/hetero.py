@@ -91,6 +91,19 @@ def fakequant_site(x: jnp.ndarray, site: FakeQuantSite) -> jnp.ndarray:
     return out.reshape(shape).astype(jnp.bfloat16)
 
 
+def rmsnorm_fakequant(x: jnp.ndarray, gamma: jnp.ndarray,
+                      site: FakeQuantSite, eps: float) -> jnp.ndarray:
+    """f32 rmsnorm straight into the fakequant grid image.
+
+    The hetero analog of the fused rmsnorm_quantize_x: the norm output
+    feeds the quantizer WITHOUT an intermediate bf16 round — the single
+    definition of that contract for every hetero forward (project_all,
+    tp_hetero layers, tp_serve layers)."""
+    xf = x.astype(jnp.float32)
+    rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return fakequant_site(xf * rvar * gamma.astype(jnp.float32), site)
+
+
 def quantize_linear_hetero(w: jnp.ndarray, calib: SiteCalibration, *,
                            bias=None, row_perm: Optional[np.ndarray] = None
                            ) -> QuantLinear:
@@ -211,6 +224,7 @@ def quantize_model_hetero(params: Dict[str, Any], cfg: ModelConfig,
 
 __all__ = [
     "FakeQuantSite", "fakequant_site", "make_fakequant_site",
+    "rmsnorm_fakequant",
     "quantize_linear_hetero", "quantize_layer_hetero",
     "quantize_expert_hetero", "quantize_model_hetero",
 ]

@@ -199,6 +199,7 @@ def sequence_parallel_forward(params: Params, cfg: ModelConfig,
     b, s = tokens.shape
     assert s % sp == 0, (s, sp)
     variant = attn or ("ring" if ring else "gather")
+    assert variant in ("gather", "ring", "ulysses"), variant
 
     fn = jax.shard_map(
         functools.partial(sp_forward_local, cfg=cfg, s_global=s,

@@ -32,6 +32,7 @@ from ..models.common import (
     ModelConfig, apply_rope, attention, causal_mask, rmsnorm, rope_table)
 from ..models.hetero import (
     FakeQuantSite, _block_fmt, fakequant_site, make_fakequant_site,
+    rmsnorm_fakequant,
     quantize_linear_hetero)
 from ..models.surgery import (
     ATTN_IN, DOWN_IN, MLP_IN, O_IN, LayerCalib, SiteCalibration)
@@ -220,13 +221,8 @@ def _tph_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask, tp: int):
     nh_l = cfg.num_heads // tp
     nkv_l = cfg.num_kv_heads // tp
 
-    # f32 rmsnorm straight into the fakequant (no intermediate bf16
-    # round — matches models.common.project_all's hetero path)
-    xf = h.astype(jnp.float32)
-    rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
-                         + cfg.rms_eps)
-    xn = xf * rvar * p["ln1"].astype(jnp.float32)
-    qx = fakequant_site(xn, p["attn_site"]).reshape(b * s, -1)
+    qx = rmsnorm_fakequant(h, p["ln1"], p["attn_site"],
+                           cfg.rms_eps).reshape(b * s, -1)
     q = p["q"](qx).reshape(b, s, nh_l, hd)
     k = p["k"](qx).reshape(b, s, nkv_l, hd)
     v = p["v"](qx).reshape(b, s, nkv_l, hd)
@@ -243,11 +239,8 @@ def _tph_decoder_layer(h, p, cfg: ModelConfig, cos, sin, mask, tp: int):
         o = o + p["o"]["bias"]
     h = h + o.astype(jnp.bfloat16).reshape(b, s, -1)
 
-    xf = h.astype(jnp.float32)
-    rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
-                         + cfg.rms_eps)
-    xn = xf * rvar * p["ln2"].astype(jnp.float32)
-    qm = fakequant_site(xn, p["mlp_site"]).reshape(b * s, -1)
+    qm = rmsnorm_fakequant(h, p["ln2"], p["mlp_site"],
+                           cfg.rms_eps).reshape(b * s, -1)
     gate = p["gate"](qm)
     up = p["up"](qm)
     act = (jax.nn.silu(gate.astype(jnp.float32))

@@ -94,15 +94,10 @@ def _tp_layer(h, p, cfg_l: ModelConfig, *, attn_fn):
     h = h + _row_parallel(out.reshape(b * s, -1), p["o_site"],
                           p["o"]).reshape(b, s, -1)
     msite = p["mlp_site"]
-    from ..models.hetero import FakeQuantSite, fakequant_site
+    from ..models.hetero import FakeQuantSite, rmsnorm_fakequant
     if isinstance(msite, FakeQuantSite):
-        # hetero: f32 norm straight into the fakequant (no bf16 round —
-        # matches project_all's hetero path / tp_hetero._tph_decoder_layer)
-        xf = h.astype(jnp.float32)
-        rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
-                             + cfg_l.rms_eps)
-        xn = xf * rvar * p["ln2"].astype(jnp.float32)
-        qm = fakequant_site(xn, msite).reshape(b * s, -1)
+        qm = rmsnorm_fakequant(h, p["ln2"], msite,
+                               cfg_l.rms_eps).reshape(b * s, -1)
     else:
         qm = rmsnorm_quantize_x(h, p["ln2"], msite.perm, *msite.splits,
                                 eps=cfg_l.rms_eps)

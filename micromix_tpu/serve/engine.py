@@ -57,10 +57,13 @@ class StepFns:
     """Custom (e.g. shard-mapped multi-chip) engine step programs.
 
     decode_multi may be a dict keyed by sample mode ("simple"/"topk"/
-    "full") or by (mode, controls) tuples, where controls=True marks the
-    logit-controls variant (repetition_penalty / min_new_tokens — takes
-    presence/penalties/eos_ids/min_remaining as four extra trailing
-    args).  prefill_hist is a ``hist_len -> jitted fn`` factory enabling
+    "full") or, fully, by (mode, controls, logprobs) tuples: controls=True
+    marks the logit-controls variant (repetition_penalty /
+    min_new_tokens — takes presence_bits/penalties/ban_ids/min_remaining
+    as four extra trailing args), logprobs=True the variant that also
+    returns chosen-token log-probabilities before the caches.  Plain
+    mode keys serve only controls=False, logprobs=False requests.
+    prefill_hist is a ``hist_len -> jitted fn`` factory enabling
     chunked prefill; prefill_batch enables multi-slot fresh prefill.
     spec_multi is a ``(draft_cfg, gamma, n_rounds) -> jitted fn`` factory
     enabling speculative decoding (the draft model runs replicated on
@@ -281,19 +284,18 @@ class Engine:
 
     def _sampler_for(self, mode: str, controls: bool = False,
                      logprobs: bool = False):
-        from .sampling import apply_logit_controls
+        from .sampling import apply_logit_controls, ban_mask, unpack_presence
         key = (mode, controls, logprobs)
         if key not in self._sampler_cache:
             def run(lg, key_, step, t, k, tp, *ctl, m=mode):
                 x = lg
                 if ctl:
-                    pres, pen, eos, mrem = ctl
+                    pres_bits, pen, ban, mrem = ctl
+                    v = lg.shape[1]
                     x = apply_logit_controls(
-                        lg, pres, pen,
-                        jnp.logical_and(
-                            (mrem > 0)[:, None],
-                            jnp.arange(lg.shape[1])[None, :]
-                            == eos[:, None]))
+                        lg, unpack_presence(pres_bits, v), pen,
+                        jnp.logical_and((mrem > 0)[:, None],
+                                        ban_mask(ban, v)))
                 toks = sample_batch(x, jax.random.fold_in(key_, step),
                                     t, k, tp, mode=m)
                 if not logprobs:
@@ -334,14 +336,22 @@ class Engine:
         return self._decode_multi_cache[key]
 
     def _controls_arrays(self, reqs: List[Optional[Request]]):
-        """(presence, penalties, eos_ids, min_remaining) device arrays for
-        the logit-controls stage; row i covers reqs[i] (None = neutral)."""
+        """(presence_bits, penalties, ban_ids, min_remaining) device arrays
+        for the logit-controls stage; row i covers reqs[i] (None =
+        neutral).
+
+        presence ships BIT-PACKED (B, ceil(V/8)) u8 — 8x smaller on the
+        ~35 ms/dispatch tunnel than a (B, V) bool — and is unpacked once
+        in-graph.  ban_ids (B, W) lists every terminator (eos_id AND
+        stop_ids) to suppress while min_new_tokens is unmet, padded with
+        -1; W adapts to the widest row (one compiled variant per width).
+        """
         b = len(reqs)
         v = self.cfg.vocab_size
         presence = np.zeros((b, v), bool)
         pen = np.ones((b,), np.float32)
-        eos = np.full((b,), -1, np.int32)
         mrem = np.zeros((b,), np.int32)
+        bans: List[List[int]] = [[] for _ in reqs]
         for i, r in enumerate(reqs):
             if r is None:
                 continue
@@ -350,10 +360,18 @@ class Engine:
             if sp.repetition_penalty != 1.0:
                 ctx = np.asarray(r.prompt + r.output, np.int32)
                 presence[i, ctx] = True
-            if r.eos_id is not None and sp.min_new_tokens > len(r.output):
-                eos[i] = r.eos_id
-                mrem[i] = sp.min_new_tokens - len(r.output)
-        return (jnp.asarray(presence), jnp.asarray(pen), jnp.asarray(eos),
+            if sp.min_new_tokens > len(r.output):
+                ids = ([r.eos_id] if r.eos_id is not None else []) \
+                    + list(r.stop_ids or [])
+                if ids:
+                    bans[i] = ids
+                    mrem[i] = sp.min_new_tokens - len(r.output)
+        w = max(1, max(len(x) for x in bans))
+        ban = np.full((b, w), -1, np.int32)
+        for i, ids in enumerate(bans):
+            ban[i, :len(ids)] = ids
+        packed = np.packbits(presence, axis=1, bitorder="little")
+        return (jnp.asarray(packed), jnp.asarray(pen), jnp.asarray(ban),
                 jnp.asarray(mrem))
 
     # ---------------- host-side page-table management ----------------
@@ -764,6 +782,15 @@ class Engine:
                      if self._spec_piggyback_ok and ready_now
                      and not ctl_live and self._spec_ok(ready_now)
                      else None)
+            if piggy is not None:
+                # spec_prefill_decode samples the piggy's first token from
+                # a plain temperature softmax — a piggy asking for
+                # top-k/top-p/logprobs must keep the separate prefill path
+                # (which routes through the full per-mode sampler)
+                sp_ = self.slots[piggy].req.sampling
+                if (sp_.top_k and sp_.top_k > 0) or sp_.top_p < 1.0 \
+                        or self.slots[piggy].req.logprobs:
+                    piggy = None
         else:
             piggy = (self._pick_piggy(handled)
                      if self._piggyback_ok and not ctl_live else None)

@@ -228,10 +228,12 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
     waste per finishing sequence).
 
     ``controls`` (optional, its presence is a static program variant):
-    (presence (B, V) bool, penalties (B,), eos_ids (B,), min_remaining
-    (B,)) — repetition penalty over context tokens (presence updated
-    in-scan as tokens are sampled) and eos suppression while fewer than
-    min_remaining tokens have been emitted this chunk.
+    (presence_bits (B, ceil(V/8)) u8 bit-packed, penalties (B,),
+    ban_ids (B, W) int32 -1-padded, min_remaining (B,)) — repetition
+    penalty over context tokens (presence unpacked once, then updated
+    in-scan as tokens are sampled) and terminator suppression (eos_id +
+    stop_ids) while fewer than min_remaining tokens have been emitted
+    this chunk.
 
     ``with_logprobs`` (static) additionally returns the chosen tokens'
     RAW model log-probabilities (log_softmax of the un-tempered,
@@ -241,7 +243,8 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
     Returns (sampled tokens (n_steps, B) int32[, logprobs], updated
     caches).
     """
-    from .sampling import apply_logit_controls, sample_batch
+    from .sampling import (apply_logit_controls, ban_mask, sample_batch,
+                           unpack_presence)
 
     if step_fn is None:
         step_fn = decode_step
@@ -268,15 +271,15 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
             return out[0], out[1], caches
         return out, caches
 
-    presence0, penalties, eos_ids, min_remaining = controls
+    presence_bits, penalties, ban_ids, min_remaining = controls
+    vocab = params["lm_head"].shape[0]
+    presence0 = unpack_presence(presence_bits, vocab)
+    banned = ban_mask(ban_ids, vocab)
 
     def step(carry, i):
         caches, toks, pos, presence = carry
         logits, caches = step_fn(params, cfg, caches, toks, seq_ids, pos)
-        v = logits.shape[-1]
-        suppress = jnp.logical_and(
-            (i < min_remaining)[:, None],
-            jnp.arange(v)[None, :] == eos_ids[:, None])
+        suppress = jnp.logical_and((i < min_remaining)[:, None], banned)
         lg = apply_logit_controls(logits, presence, penalties, suppress)
         nxt = sample_batch(lg, jax.random.fold_in(key, i),
                            temps, top_k, top_p, mode=sample_mode)

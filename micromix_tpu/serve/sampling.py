@@ -30,6 +30,21 @@ def uses_logit_controls(sampling_params) -> bool:
                for p in sampling_params)
 
 
+def unpack_presence(packed: jnp.ndarray, v: int) -> jnp.ndarray:
+    """Bit-packed (B, ceil(V/8)) u8 (little bit order, np.packbits) ->
+    (B, V) bool.  The engine ships presence packed to cut the per-chunk
+    host->device transfer 8x on the dispatch tunnel."""
+    idx = jnp.arange(v)
+    return ((packed[:, idx // 8] >> (idx % 8)) & 1).astype(bool)
+
+
+def ban_mask(ban_ids: jnp.ndarray, v: int) -> jnp.ndarray:
+    """(B, W) int32 token ids (-1 padding) -> (B, V) bool suppression
+    mask covering every listed terminator (eos_id and stop_ids)."""
+    return jnp.any(jnp.arange(v)[None, :, None] == ban_ids[:, None, :],
+                   axis=-1)
+
+
 def apply_logit_controls(logits: jnp.ndarray, presence: jnp.ndarray,
                          penalties: jnp.ndarray,
                          suppress: jnp.ndarray) -> jnp.ndarray:

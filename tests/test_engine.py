@@ -581,3 +581,24 @@ def test_engine_logprobs(rng):
         want.append(float(jax.nn.log_softmax(lg[0])[nxt]))
         cur, pos = nxt, pos + 1
     np.testing.assert_allclose(req.token_logprobs, want, atol=0.05)
+
+
+def test_engine_min_new_tokens_suppresses_stop_ids(rng):
+    """min_new_tokens must also hold against stop_ids (and work with
+    eos_id=None): the floor suppresses every terminator, not just eos."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=65)
+    prompt = list(rng.integers(0, cfg.vocab_size, 7))
+
+    probe = Request(req_id=0, prompt=list(prompt), max_new_tokens=6)
+    Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+           prefill_buckets=(16,), decode_chunk=2).run([probe])
+    stop = probe.output[0]  # would stop at 1 token without the floor
+
+    r = Request(req_id=0, prompt=list(prompt), max_new_tokens=6,
+                stop_ids=[stop],
+                sampling=SamplingParams(min_new_tokens=4))
+    Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+           prefill_buckets=(16,), decode_chunk=2).run([r])
+    assert len(r.output) >= 4
+    assert stop not in r.output[:3]
