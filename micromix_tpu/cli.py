@@ -176,7 +176,8 @@ def cmd_serve(args) -> None:
                        draft_cfg=dcfg, spec_gamma=args.spec_gamma)
     eng = Engine(params, cfg, max_seqs=args.max_seqs,
                  page_size=args.page_size, kv_bits=args.kv_bits or 4,
-                 decode_chunk=args.decode_chunk, **spec_kw)
+                 decode_chunk=args.decode_chunk,
+                 prefix_cache=args.prefix_cache, **spec_kw)
     sampling = SamplingParams(temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p)
     reqs = [
@@ -213,6 +214,8 @@ def cmd_serve(args) -> None:
     if eng.spec_proposed:
         stats["spec_accept_rate"] = round(
             eng.spec_accepted / eng.spec_proposed, 3)
+    if eng.prefix_hit_tokens:
+        stats["prefix_hit_tokens"] = eng.prefix_hit_tokens
     print(json.dumps(stats))
 
 
@@ -295,6 +298,9 @@ def main(argv=None) -> None:
     s.add_argument("--page-size", type=int, default=128)
     s.add_argument("--kv-bits", type=int, default=4)
     s.add_argument("--decode-chunk", type=int, default=8)
+    s.add_argument("--prefix-cache", action="store_true",
+                   help="share KV pages across requests with common "
+                        "prompt prefixes (quantized-prefix semantics)")
     s.add_argument("--draft-model", default=None, metavar="DIR",
                    help="HF checkpoint dir of a small draft model; "
                         "enables speculative decoding")

@@ -86,6 +86,9 @@ class _Slot:
     pos: int = 0
     # context tokens not yet prefilled (chunked prefill)
     pending: List[int] = dataclasses.field(default_factory=list)
+    # the full admitted context (prompt + prior output); prefix-cache
+    # registration keys pages off ctx[:pos]
+    ctx: List[int] = dataclasses.field(default_factory=list)
 
     @property
     def ready(self) -> bool:
@@ -101,7 +104,7 @@ class Engine:
                  seed: int = 0, step_fns=None, cache_sharding=None,
                  draft_params=None, draft_cfg: Optional[ModelConfig] = None,
                  spec_gamma: int = 4, spec_rounds: Optional[int] = None,
-                 piggyback: bool = True):
+                 piggyback: bool = True, prefix_cache: bool = False):
         self.params = params
         self.cfg = cfg
         self.max_seqs = max_seqs
@@ -119,8 +122,18 @@ class Engine:
             self.caches = [cache_sharding(c) for c in self.caches]
         # host-side page bookkeeping: native C++ pool when available
         # (native/kvpool.cpp), Python fallback otherwise; page 0 = scratch
-        self.block_manager = BlockManager(n_pages, page_size, max_seqs,
-                                          max_pages_per_seq)
+        # prefix caching: content-addressed page sharing across requests
+        # (serve/prefix_cache.py).  Opt-in — a cache hit attends to the
+        # QUANTIZED cached prefix (chunked-prefill semantics) instead of
+        # the exact bf16 in-chunk K/V of a cold single-shot prefill.
+        self._prefix_cache = prefix_cache
+        if prefix_cache:
+            from .prefix_cache import PrefixBlockManager
+            self.block_manager = PrefixBlockManager(
+                n_pages, page_size, max_seqs, max_pages_per_seq)
+        else:
+            self.block_manager = BlockManager(n_pages, page_size, max_seqs,
+                                              max_pages_per_seq)
         self.slots = [_Slot() for _ in range(max_seqs)]
         self.waiting: List[Request] = []
         self._base_key = jax.random.PRNGKey(seed)
@@ -264,6 +277,7 @@ class Engine:
         self.phase_s = {"prefill": 0.0, "decode": 0.0, "mixed": 0.0,
                         "spec": 0.0}
         self.preemptions = 0
+        self.prefix_hit_tokens = 0
         self.spec_accepted = 0
         self.spec_proposed = 0
         self.ttft: Dict[int, float] = {}
@@ -387,6 +401,13 @@ class Engine:
             self.dcaches = self._set_row(self.dcaches, jnp.int32(slot_id),
                                          jnp.asarray(row_np))
 
+    def _register_prefix(self, slot_id: int) -> None:
+        """Make the slot's fully-prefilled pages matchable (no-op unless
+        prefix caching is on)."""
+        if self._prefix_cache:
+            slot = self.slots[slot_id]
+            self.block_manager.register_prefix(slot_id, slot.ctx, slot.pos)
+
     def _release(self, slot_id: int) -> None:
         self.block_manager.release(slot_id)
         self.slots[slot_id] = _Slot()
@@ -430,6 +451,28 @@ class Engine:
             slot.req = req
             slot.pos = 0
             slot.pending = list(ctx)
+            slot.ctx = list(ctx)
+            if self._prefix_cache:
+                matched = self.block_manager.match_and_attach(slot_id, ctx)
+                if matched:
+                    # shared pages hold the prefix K/V already: point the
+                    # device tables/lengths at them and prefill the rest
+                    # through the ordinary chunked-history path
+                    row = jnp.asarray(self.block_manager.table_row(slot_id))
+                    self.caches = self._set_row(self.caches,
+                                                jnp.int32(slot_id), row)
+                    self.caches = self._set_len(self.caches,
+                                                jnp.int32(slot_id),
+                                                jnp.int32(matched))
+                    if self.dcaches is not None:
+                        self.dcaches = self._set_row(
+                            self.dcaches, jnp.int32(slot_id), row)
+                        self.dcaches = self._set_len(
+                            self.dcaches, jnp.int32(slot_id),
+                            jnp.int32(matched))
+                    slot.pos = matched
+                    slot.pending = list(ctx[matched:])
+                    self.prefix_hit_tokens += matched
 
     def _prefill_for(self, hist_gather: int):
         """Jitted prefill for chunks with history.
@@ -527,6 +570,7 @@ class Engine:
         slot.pos = hist + n
         slot.pending = slot.pending[n:]
         self.prefill_tokens += n
+        self._register_prefix(piggy)
         if not slot.pending:
             self.ttft.setdefault(
                 slot.req.req_id,
@@ -637,6 +681,7 @@ class Engine:
             slot.pos = n
             slot.pending = []
             self.prefill_tokens += n
+            self._register_prefix(i)
             self.ttft.setdefault(slot.req.req_id,
                                  now - self._t_submit[slot.req.req_id])
             self._emit(i, int(firsts[row]),
@@ -687,6 +732,7 @@ class Engine:
         slot.pos = true_len
         slot.pending = slot.pending[n:]
         self.prefill_tokens += n
+        self._register_prefix(slot_id)
         if not slot.pending:
             first, first_lp = self._sample_from(logits, slot.req)
             self.ttft.setdefault(
@@ -1004,6 +1050,7 @@ class Engine:
             slot.pos = hist + n
             slot.pending = slot.pending[n:]
             self.prefill_tokens += n
+            self._register_prefix(piggy)
             if not slot.pending:
                 self.ttft.setdefault(
                     slot.req.req_id,

@@ -84,7 +84,8 @@ def test_cli_calibrate_quantize_eval_serve(ckpt, tmp_path, capsys):
     prompts.write_text("w1 w2 w3\nw4 w5\n")
     main(["serve", "--model", ckpt, "--quantized-ckpt", qdir,
           "--prompts", str(prompts), "--max-new-tokens", "4",
-          "--max-seqs", "2", "--page-size", "16", "--decode-chunk", "2"])
+          "--max-seqs", "2", "--page-size", "16", "--decode-chunk", "2",
+          "--prefix-cache"])
     out = capsys.readouterr().out
     stats = json.loads(out.strip().splitlines()[-1])
     assert stats["requests"] == 2
