@@ -155,3 +155,27 @@ def test_engine_prefix_cache_preemption_recovery(rng):
         assert len(r_nc) == len(r_pc) == 16
     if eng_pc.preemptions:
         assert eng_pc.prefix_hit_tokens > 0      # recovery used the cache
+
+
+def test_engine_prefix_cache_with_speculative(rng):
+    """Prefix caching composes with spec mode: the draft cache's shared
+    pages hold the draft-model prefix KV (mirrored at the same physical
+    ids), so a cache hit replays the warm request exactly."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=83)
+    dcfg = _cfg(num_layers=1)
+    dparams = {**random_dense_params(dcfg, seed=84)}
+    dparams["layers"] = dparams["layers"][:1]
+    prompt = list(rng.integers(0, cfg.vocab_size, 33))
+
+    eng = Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+                 prefill_buckets=(16, 32), decode_chunk=2,
+                 prefix_cache=True, draft_params=dparams, draft_cfg=dcfg,
+                 spec_gamma=2, spec_rounds=1)
+    a = Request(req_id=0, prompt=list(prompt), max_new_tokens=6)
+    eng.run([a])
+    b = Request(req_id=1, prompt=list(prompt), max_new_tokens=6)
+    eng.run([b])
+    assert eng.prefix_hit_tokens == 32
+    assert eng.spec_proposed > 0
+    assert b.output == a.output
