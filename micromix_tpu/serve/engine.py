@@ -409,6 +409,14 @@ class Engine:
             self.block_manager.register_prefix(slot_id, slot.ctx, slot.pos)
 
     def _release(self, slot_id: int) -> None:
+        slot = self.slots[slot_id]
+        if self._prefix_cache and slot.req is not None:
+            # register generated-token pages too: a follow-up turn whose
+            # prompt extends this conversation (prompt + output) hits them
+            # (slot.pos counts tokens whose K/V is actually written — the
+            # final emitted token's is not)
+            self.block_manager.register_prefix(
+                slot_id, slot.req.prompt + slot.req.output, slot.pos)
         self.block_manager.release(slot_id)
         self.slots[slot_id] = _Slot()
         self.caches = self._clear_slot(self.caches, jnp.int32(slot_id))

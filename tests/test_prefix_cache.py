@@ -179,3 +179,24 @@ def test_engine_prefix_cache_with_speculative(rng):
     assert eng.prefix_hit_tokens == 32
     assert eng.spec_proposed > 0
     assert b.output == a.output
+
+
+def test_engine_prefix_cache_multi_turn_reuse(rng):
+    """Generated-token pages register at release, so a follow-up turn
+    whose prompt extends the finished conversation (prompt + output)
+    hits pages beyond the original prompt."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=85)
+    prompt = list(rng.integers(0, cfg.vocab_size, 30))
+
+    eng = Engine(params, cfg, max_seqs=1, page_size=16, max_pages_per_seq=8,
+                 prefill_buckets=(16, 32, 64), decode_chunk=2,
+                 prefix_cache=True)
+    a = Request(req_id=0, prompt=list(prompt), max_new_tokens=6)
+    eng.run([a])
+    # written K/V covers prompt + output[:-1] = 35 tokens -> 2 full pages
+    turn2 = prompt + a.output + [5, 7]
+    b = Request(req_id=1, prompt=turn2, max_new_tokens=4)
+    eng.run([b])
+    assert eng.prefix_hit_tokens == 32   # includes the output-covering page
+    assert b.done and len(b.output) == 4
