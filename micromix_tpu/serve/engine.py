@@ -586,20 +586,21 @@ class Engine:
             self._emit(piggy, int(np.asarray(ptok)[0]))
         return np.asarray(toks_dev)
 
-    def _spec_piggy_for(self, hist_key: int):
-        """Fused spec_prefill_decode program per history-length key."""
-        if hist_key not in self._spec_piggy_cache:
+    def _spec_piggy_for(self, hist_key: int, mode: str):
+        """Fused spec_prefill_decode program per (history-length,
+        first-token sample mode) key."""
+        if (hist_key, mode) not in self._spec_piggy_cache:
             from .speculative import spec_prefill_decode
             tcfg, dcfg = self.cfg, self.draft_cfg
             gamma, rounds = self.spec_gamma, self.spec_rounds
-            self._spec_piggy_cache[hist_key] = jax.jit(
+            self._spec_piggy_cache[(hist_key, mode)] = jax.jit(
                 lambda tp, dp, tc, dc, pt, psid, psp, pli, ptl, ptemp,
-                st, sid, key, temps, h=hist_key:
+                pk, pp, st, sid, key, temps, h=hist_key, m=mode:
                 spec_prefill_decode(tp, dp, tcfg, dcfg, tc, dc, pt, psid,
-                                    psp, pli, ptl, ptemp, st, sid, key,
-                                    temps, hist_len=h, gamma=gamma,
-                                    n_rounds=rounds))
-        return self._spec_piggy_cache[hist_key]
+                                    psp, pli, ptl, ptemp, pk, pp, st, sid,
+                                    key, temps, hist_len=h, gamma=gamma,
+                                    n_rounds=rounds, sample_mode=m))
+        return self._spec_piggy_cache[(hist_key, mode)]
 
     def _draft_prefill_for(self, hist_gather: int):
         """Draft-model mirror of _prefill_for (spec mode, chunked)."""
@@ -836,15 +837,7 @@ class Engine:
                      if self._spec_piggyback_ok and ready_now
                      and not ctl_live and self._spec_ok(ready_now)
                      else None)
-            if piggy is not None:
-                # spec_prefill_decode samples the piggy's first token from
-                # a plain temperature softmax — a piggy asking for
-                # top-k/top-p/logprobs must keep the separate prefill path
-                # (which routes through the full per-mode sampler)
-                sp_ = self.slots[piggy].req.sampling
-                if (sp_.top_k and sp_.top_k > 0) or sp_.top_p < 1.0 \
-                        or self.slots[piggy].req.logprobs:
-                    piggy = None
+
         else:
             piggy = (self._pick_piggy(handled)
                      if self._piggyback_ok and not ctl_live else None)
@@ -1047,13 +1040,16 @@ class Engine:
             ptoks = np.zeros((1, bucket), np.int32)
             ptoks[0, :n] = pchunk
             sp = slot.req.sampling
+            pmode = pick_sample_mode([sp])
             ptok, emitted, n_emitted, _, self.caches, self.dcaches = \
-                self._spec_piggy_for(hist_key)(
+                self._spec_piggy_for(hist_key, pmode)(
                     self.params, self.draft_params, self.caches,
                     self.dcaches, jnp.asarray(ptoks), jnp.int32(piggy),
                     jnp.int32(hist), jnp.int32(n - 1),
                     jnp.int32(hist + n),
                     jnp.asarray([sp.temperature], np.float32),
+                    jnp.asarray([sp.top_k], np.int32),
+                    jnp.asarray([sp.top_p], np.float32),
                     state, jnp.asarray(seq_ids), key, jnp.asarray(temps))
             slot.pos = hist + n
             slot.pending = slot.pending[n:]

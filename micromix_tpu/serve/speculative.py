@@ -253,9 +253,11 @@ def spec_prefill_decode(tparams: Params, dparams: Params, cfg: ModelConfig,
                         ptokens: jnp.ndarray, pseq_id: jnp.ndarray,
                         pstart: jnp.ndarray, plast: jnp.ndarray,
                         ptrue_len: jnp.ndarray, ptemp: jnp.ndarray,
+                        ptop_k: jnp.ndarray, ptop_p: jnp.ndarray,
                         state: SpecState, seq_ids: jnp.ndarray,
                         key: jax.Array, temps: jnp.ndarray, *,
-                        hist_len: int, gamma: int, n_rounds: int):
+                        hist_len: int, gamma: int, n_rounds: int,
+                        sample_mode: str = "simple"):
     """PIGGYBACKED speculative step: one slot's prefill chunk — target AND
     draft mirror, both true-length fixups, and the first-token sample —
     rides the spec-rounds dispatch as ONE program.
@@ -265,9 +267,11 @@ def spec_prefill_decode(tparams: Params, dparams: Params, cfg: ModelConfig,
     fixup, draft prefill, draft fixup, spec rounds, spec fixups); on the
     axon tunnel each costs ~35 ms.  The prefill slot and the decoding
     slots are distinct sequences, so in-program ordering does not change
-    numerics.  Spec mode admits greedy/temperature sampling only
-    (engine._spec_ok), so the first token samples from the plain
-    temperature softmax.
+    numerics.  The DECODING slots are greedy/temperature only
+    (engine._spec_ok); the piggy's FIRST token samples through the full
+    per-mode sampler (``sample_mode`` static, ptop_k/ptop_p traced), so
+    a top-k/top-p request can still ride the spec dispatch — its later
+    decode steps then fall back to normal chunks.
 
     Returns (first token (1,) int32, emitted (n_rounds, B, gamma+1),
     n_emitted (n_rounds, B), final state, tcaches, dcaches).
@@ -284,14 +288,10 @@ def spec_prefill_decode(tparams: Params, dparams: Params, cfg: ModelConfig,
                          pstart, plast, hist_len=hist_len)
     dcaches = [_dc.replace(c, lengths=c.lengths.at[pseq_id].set(ptrue_len))
                for c in dcaches]
-    pprobs = _softmax_t(plogits, ptemp)
+    from .sampling import sample_batch
     # fold value n_rounds is disjoint from the round scan's 0..n_rounds-1
-    ptok = jnp.where(
-        ptemp <= 0.0,
-        jnp.argmax(plogits, axis=-1).astype(jnp.int32),
-        jax.random.categorical(
-            jax.random.fold_in(key, n_rounds),
-            jnp.log(jnp.maximum(pprobs, 1e-30)), axis=-1).astype(jnp.int32))
+    ptok = sample_batch(plogits, jax.random.fold_in(key, n_rounds),
+                        ptemp, ptop_k, ptop_p, mode=sample_mode)
     emitted, n_emitted, state, tcaches, dcaches = spec_decode_multi(
         tparams, dparams, cfg, dcfg, tcaches, dcaches, state, seq_ids,
         key, temps, gamma=gamma, n_rounds=n_rounds)

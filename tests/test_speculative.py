@@ -389,3 +389,46 @@ def test_engine_spec_piggyback_mixed_load(rng):
     out_off = [r.output for r in eng_off.run(reqs())]
     assert not eng_off._spec_piggy_cache
     assert out_on == out_off
+
+
+def test_engine_spec_piggyback_topk_piggy(rng):
+    """A top-k piggy rides the spec dispatch through the per-mode
+    first-token sampler: with top_k=1 (argmax) its whole stream equals
+    the same request run greedily, while the other slot keeps
+    speculating."""
+    from micromix_tpu.serve import Engine, Request
+    from micromix_tpu.serve.sampling import SamplingParams
+
+    cfg = _cfg()
+    tparams = random_dense_params(cfg, seed=55)
+    dcfg = _cfg(num_layers=1)
+    dparams = {**random_dense_params(dcfg, seed=56)}
+    dparams["layers"] = dparams["layers"][:1]
+
+    def build():
+        return Engine(tparams, cfg, max_seqs=2, page_size=16,
+                      max_pages_per_seq=8, prefill_buckets=(16, 32),
+                      prefill_chunk=16, draft_params=dparams,
+                      draft_cfg=dcfg, spec_gamma=2, spec_rounds=1)
+
+    pa = list(np.random.default_rng(3).integers(0, cfg.vocab_size, 6))
+    pb = list(np.random.default_rng(4).integers(0, cfg.vocab_size, 40))
+
+    def run(sampling_b):
+        eng = build()
+        ra = Request(req_id=0, prompt=list(pa), max_new_tokens=8)
+        eng.submit(ra)
+        eng.step()                     # A prefills + starts speculating
+        rb = Request(req_id=1, prompt=list(pb), max_new_tokens=4,
+                     sampling=sampling_b)
+        eng.submit(rb)
+        while eng.step():
+            pass
+        return ra, rb, eng
+
+    ra1, rb1, eng1 = run(SamplingParams(temperature=1.0, top_k=1))
+    assert any(k[1] == "topk" for k in eng1._spec_piggy_cache), \
+        "top-k piggy never rode the spec dispatch"
+    ra2, rb2, _ = run(SamplingParams())          # greedy reference
+    assert rb1.output == rb2.output
+    assert ra1.output == ra2.output
