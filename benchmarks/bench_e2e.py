@@ -76,6 +76,38 @@ def main(argv=None) -> None:
          wall_s=round(dt, 3),
          mean_ttft_ms=round(1e3 * float(np.mean(ttfts)), 2))
 
+    # prefix caching: shared-system-prompt workload — every request
+    # repeats a common prefix (2 pages) + a short unique tail; compare
+    # TTFT with and without the cache (serve/prefix_cache.py)
+    shared = list(rng.integers(0, cfg.vocab_size, 256))
+    new_tok = max(2, args.new_tokens // 8)
+
+    def shared_prefix_run(prefix_cache: bool):
+        e = Engine(params, cfg, max_seqs=args.batch, page_size=128,
+                   max_pages_per_seq=8, prefill_buckets=(16, 32, 512),
+                   prefix_cache=prefix_cache)
+        e.run([Request(req_id=-1, prompt=shared + [1, 2, 3],
+                       max_new_tokens=2)])  # warm (and seed the cache)
+        rs = [Request(req_id=i,
+                      prompt=shared + list(rng.integers(
+                          0, cfg.vocab_size, 5 + i % 3)),
+                      max_new_tokens=new_tok)
+              for i in range(args.batch)]
+        t0 = time.perf_counter()
+        e.run(rs)
+        wall = time.perf_counter() - t0
+        ttft = float(np.mean([e.ttft[r.req_id] for r in rs]))
+        return wall, ttft, e
+
+    w_off, ttft_off, _ = shared_prefix_run(False)
+    w_on, ttft_on, e_on = shared_prefix_run(True)
+    emit("e2e shared-prefix TTFT (prefix cache on vs off)",
+         1e3 * ttft_on, "ms",
+         ttft_off_ms=round(1e3 * ttft_off, 2),
+         speedup=round(ttft_off / max(ttft_on, 1e-9), 2),
+         prefix_hit_tokens=e_on.prefix_hit_tokens,
+         wall_on_s=round(w_on, 3), wall_off_s=round(w_off, 3))
+
 
 if __name__ == "__main__":
     main()
