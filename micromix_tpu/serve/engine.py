@@ -128,6 +128,14 @@ class Engine:
         # the exact bf16 in-chunk K/V of a cold single-shot prefill.
         self._prefix_cache = prefix_cache
         if prefix_cache:
+            if step_fns is not None and (
+                    getattr(step_fns, "prefill_hist", None) is None):
+                # a cache hit prefills FROM the match point, i.e. with
+                # history — without a sharded hist-prefill that path would
+                # silently run the unsharded runner.prefill over sharded
+                # params (same hazard as _chunked_ok below)
+                raise ValueError("prefix_cache with custom step_fns "
+                                 "requires StepFns.prefill_hist")
             from .prefix_cache import PrefixBlockManager
             self.block_manager = PrefixBlockManager(
                 n_pages, page_size, max_seqs, max_pages_per_seq)
@@ -190,6 +198,13 @@ class Engine:
         self._set_len = jax.jit(
             lambda cs, slot, n: [
                 dataclasses.replace(c, lengths=c.lengths.at[slot].set(n))
+                for c in cs
+            ])
+        self._set_row_len = jax.jit(
+            lambda cs, slot, row, n: [
+                dataclasses.replace(
+                    c, page_table=c.page_table.at[slot].set(row),
+                    lengths=c.lengths.at[slot].set(n))
                 for c in cs
             ])
         self._set_len_many = jax.jit(
@@ -414,9 +429,13 @@ class Engine:
             # register generated-token pages too: a follow-up turn whose
             # prompt extends this conversation (prompt + output) hits them
             # (slot.pos counts tokens whose K/V is actually written — the
-            # final emitted token's is not)
+            # final emitted token's is not).  Spec mode drops one more
+            # position: a fully-accepted final round leaves the DRAFT
+            # cache with an unwritten K/V at pos-1 (normally healed by the
+            # next round's prev re-append, which never comes)
+            covered = slot.pos - (1 if self.dcaches is not None else 0)
             self.block_manager.register_prefix(
-                slot_id, slot.req.prompt + slot.req.output, slot.pos)
+                slot_id, slot.req.prompt + slot.req.output, covered)
         self.block_manager.release(slot_id)
         self.slots[slot_id] = _Slot()
         self.caches = self._clear_slot(self.caches, jnp.int32(slot_id))
@@ -466,18 +485,15 @@ class Engine:
                     # shared pages hold the prefix K/V already: point the
                     # device tables/lengths at them and prefill the rest
                     # through the ordinary chunked-history path
+                    # ONE dispatch updates row+length of target AND
+                    # draft caches (35 ms/dispatch on the axon tunnel)
                     row = jnp.asarray(self.block_manager.table_row(slot_id))
-                    self.caches = self._set_row(self.caches,
-                                                jnp.int32(slot_id), row)
-                    self.caches = self._set_len(self.caches,
-                                                jnp.int32(slot_id),
-                                                jnp.int32(matched))
+                    both = self.caches + (self.dcaches or [])
+                    both = self._set_row_len(both, jnp.int32(slot_id), row,
+                                             jnp.int32(matched))
+                    self.caches = both[:len(self.caches)]
                     if self.dcaches is not None:
-                        self.dcaches = self._set_row(
-                            self.dcaches, jnp.int32(slot_id), row)
-                        self.dcaches = self._set_len(
-                            self.dcaches, jnp.int32(slot_id),
-                            jnp.int32(matched))
+                        self.dcaches = both[len(self.caches):]
                     slot.pos = matched
                     slot.pending = list(ctx[matched:])
                     self.prefix_hit_tokens += matched

@@ -4,10 +4,14 @@ vLLM-style prefix caching re-expressed for this engine's paged quantized
 KV cache (net-new vs the reference, which has no serving loop at all —
 SURVEY.md §1).  Key observations that make sharing sound here:
 
-  * page content is a pure function of the token prefix: K is stored
-    post-RoPE at ABSOLUTE positions and the int4/int8 quantization is
-    deterministic, so two requests with the same first N page-aligned
-    tokens produce bit-identical pages,
+  * page content is deterministic given the token prefix AND the
+    producer's chunk boundaries: K is stored post-RoPE at ABSOLUTE
+    positions and the quantization is deterministic, but hidden states
+    of later layers see exact bf16 K/V in-chunk vs quantized K/V across
+    chunks, so pages produced under different chunkings (or filled by
+    decode) agree only to quantization-level noise.  Replay therefore
+    serves approximately-equal KV — the same semantics every chunked
+    prefill and decode step already has,
   * prefill chunks never write before ``start_pos``, and bucket padding
     spills only into the slot's own freshly-allocated pages — an attached
     shared page is never written again,
@@ -19,8 +23,10 @@ SURVEY.md §1).  Key observations that make sharing sound here:
 Identity of a cached page is its CHAIN key ``(parent_page_id,
 chunk_token_bytes)`` — the parent's physical id transitively pins the
 whole prefix, so no cryptographic hashing is needed and collisions are
-impossible while the parent stays registered.  Eviction unregisters a
-page and (transitively) orphans its children from the match map; orphans
+impossible while the parent stays registered (first writer wins;
+duplicate concurrent prefills keep the holder's page).  Eviction
+unregisters a page and (transitively) orphans its children from the
+match map; orphans
 still referenced by running slots stay valid — they just stop being
 matchable — and return to the free list on release.
 
@@ -62,8 +68,6 @@ class PrefixBlockManager(BlockManager):
         self._children: Dict[int, Set[int]] = {}  # page -> child pages
         self._ref: Dict[int, int] = {}           # page -> live references
         self._evictable: "OrderedDict[int, None]" = OrderedDict()
-        self.hits = 0            # pages served from cache
-        self.hit_tokens = 0      # prompt tokens skipped via cache
 
     # ---------------- internals ----------------
 
@@ -149,11 +153,7 @@ class PrefixBlockManager(BlockManager):
             self._ref[p] = self._ref.get(p, 0) + 1
             self._evictable.pop(p, None)
         self._pages[slot] = chain
-        matched = len(chain) * self.page_size
-        if chain:
-            self.hits += len(chain)
-            self.hit_tokens += matched
-        return matched
+        return len(chain) * self.page_size
 
     def register_prefix(self, slot: int, tokens: Sequence[int],
                         covered: int) -> None:
