@@ -157,7 +157,7 @@ def cmd_serve(args) -> None:
             from .models.surgery import quantize_model_weight_only
             params = quantize_model_weight_only(params, cfg,
                                                 args.weight_only)
-        elif args.do_quant:
+        elif args.do_quant and args.tp <= 1:
             params = _quantize(params, cfg, args)
     tok = _tokenizer(args)
 
@@ -174,10 +174,35 @@ def cmd_serve(args) -> None:
         spec_kw = dict(draft_params=load_dense_params(args.draft_model,
                                                       dcfg),
                        draft_cfg=dcfg, spec_gamma=args.spec_gamma)
-    eng = Engine(params, cfg, max_seqs=args.max_seqs,
-                 page_size=args.page_size, kv_bits=args.kv_bits or 4,
-                 decode_chunk=args.decode_chunk,
-                 prefix_cache=args.prefix_cache, **spec_kw)
+    eng_kw = dict(max_seqs=args.max_seqs, page_size=args.page_size,
+                  kv_bits=args.kv_bits or 4,
+                  decode_chunk=args.decode_chunk,
+                  prefix_cache=args.prefix_cache, **spec_kw)
+    if args.tp > 1:
+        # multi-chip serving: TP-quantize from the dense checkpoint
+        # (shard-local budgets differ from the single-chip layout, so a
+        # baked single-chip checkpoint cannot be resharded here)
+        assert not args.quantized_ckpt, \
+            "--tp quantizes at startup; use --do-quant, not a baked ckpt"
+        import jax
+        from .calib import load_calibration, smooth_params
+        from .parallel import make_mesh
+        from .parallel.tp_serve import make_tp_engine
+        calibs, absmax = load_calibration(args.calibration)
+        if args.smooth and absmax:
+            stats = {k: {"absmax": v} for k, v in absmax.items()}
+            params = smooth_params(params, cfg, stats, alpha=args.alpha)
+        if args.hetero:
+            from .parallel.tp_hetero import quantize_model_tp_hetero
+            tparams = quantize_model_tp_hetero(params, cfg, calibs, args.tp)
+        else:
+            from .parallel.tp_quant import quantize_model_tp
+            tparams = quantize_model_tp(params, cfg, calibs, args.tp)
+        mesh = make_mesh(data=1, model=args.tp,
+                         devices=jax.devices()[:args.tp])
+        eng = make_tp_engine(tparams, cfg, mesh, **eng_kw)
+    else:
+        eng = Engine(params, cfg, **eng_kw)
     sampling = SamplingParams(temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p)
     reqs = [
@@ -298,6 +323,9 @@ def main(argv=None) -> None:
     s.add_argument("--page-size", type=int, default=128)
     s.add_argument("--kv-bits", type=int, default=4)
     s.add_argument("--decode-chunk", type=int, default=8)
+    s.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel ways (shards weights + KV heads "
+                        "over the first N devices; implies --do-quant)")
     s.add_argument("--prefix-cache", action="store_true",
                    help="share KV pages across requests with common "
                         "prompt prefixes (quantized-prefix semantics)")
