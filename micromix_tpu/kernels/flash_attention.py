@@ -161,8 +161,8 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda bi, hh, iq: (bi, hh, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d),
                                lambda bi, hh, iq: (bi, hh, iq, 0),
