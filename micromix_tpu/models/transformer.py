@@ -181,6 +181,51 @@ def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
     if tap is not None:
         # router input feeds gate + every expert's w1/w3 for smoothing
         tap("mlp_in", xn)
+    st = p.get("experts_stacked")
+    if st is not None:
+        # EP-serving form (parallel/ep_serve.py): STACKED LOCAL experts
+        # under shard_map — every leaf carries a leading local-expert dim
+        # (this layer dict holds the shard's slice).  Each device computes
+        # its experts' contributions on the replicated tokens; ONE psum
+        # over "expert" combines them (the moe_ep.py design, reusing the
+        # per-expert quantized path below verbatim via indexed views).
+        assert tap is None, "calibration runs on the unstacked form"
+        el = jax.tree.leaves(st["w2"])[0].shape[0]
+        e_off = jax.lax.axis_index("expert") * el
+
+        def expert_out(i, toks):
+            ep = jax.tree.map(lambda a: a[i], st)
+            if _is_quant(ep["w1"]):
+                g, u = project_all(toks, ep["site_in"],
+                                   [ep["w1"], ep["w3"]])
+                return ep["w2"](_silu_mul_q(g, u, ep))
+            g, u = ep["w1"](toks), ep["w3"](toks)
+            return ep["w2"](jax.nn.silu(g.astype(jnp.float32)).astype(
+                jnp.bfloat16) * u)
+
+        if cfg.moe_capacity_factor is not None:
+            cap = moe_capacity(cfg, x.shape[0])
+            idx, gate = capacity_dispatch(weights, cap)
+            xn_pad = jnp.concatenate(
+                [xn, jnp.zeros((1, k), xn.dtype)], axis=0)
+            out_pad = jnp.zeros((x.shape[0] + 1, k), jnp.float32)
+            for i in range(el):
+                rows = jax.lax.dynamic_index_in_dim(idx, e_off + i, 0,
+                                                    keepdims=False)
+                gates = jax.lax.dynamic_index_in_dim(gate, e_off + i, 0,
+                                                     keepdims=False)
+                ye = expert_out(i, xn_pad[rows])
+                out_pad = out_pad.at[rows].add(
+                    ye.astype(jnp.float32) * gates[:, None])
+            out = jax.lax.psum(out_pad[:-1], "expert")
+            return out.astype(jnp.bfloat16).reshape(b, s, k)
+        out = jnp.zeros((x.shape[0], k), jnp.float32)
+        for i in range(el):
+            ye = expert_out(i, xn)
+            out = out + ye.astype(jnp.float32) * weights[:,
+                                                         e_off + i][:, None]
+        return jax.lax.psum(out, "expert").astype(jnp.bfloat16).reshape(
+            b, s, k)
     if cfg.moe_capacity_factor is not None and tap is None:
         # capacity dispatch: each expert runs on <= C gathered tokens, so
         # FLOPs/token ~ top_k * factor instead of num_experts

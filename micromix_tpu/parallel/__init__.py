@@ -16,6 +16,7 @@ from .spmd import (
 from .moe_ep import (ep_moe_forward, ep_moe_forward_hetero,
                      ep_moe_forward_quant, stack_dense_experts,
                      stack_hetero_experts, stack_quant_experts)
+from .ep_serve import make_ep_engine, quantize_model_ep
 from .pp import make_pp_mesh, pipeline_parallel_forward, stack_layers
 from .sp import sequence_parallel_forward
 from .tp_quant import (
@@ -36,6 +37,7 @@ __all__ = [
     "tp_validate_config", "ep_moe_forward", "stack_dense_experts",
     "ep_moe_forward_quant", "stack_quant_experts",
     "ep_moe_forward_hetero", "stack_hetero_experts",
+    "make_ep_engine", "quantize_model_ep",
     "pipeline_parallel_forward", "make_pp_mesh", "stack_layers",
     "sequence_parallel_forward",
     "quantize_model_tp", "shard_params_tp", "sharded_forward_tp",
