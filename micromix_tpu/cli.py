@@ -47,14 +47,22 @@ def cmd_calibrate(args) -> None:
     print(f"saved -> {args.output}")
 
 
-def _quantize(params, cfg, args):
+def _load_and_smooth(params, cfg, args):
+    """Shared calibrate-artifact load + SmoothQuant step (single-chip
+    and --tp quantization must apply identical smoothing)."""
     from .calib import load_calibration, smooth_params
-    from .models.surgery import quantize_model
 
     calibs, absmax = load_calibration(args.calibration)
     if args.smooth and absmax:
         stats = {k: {"absmax": v} for k, v in absmax.items()}
         params = smooth_params(params, cfg, stats, alpha=args.alpha)
+    return params, calibs
+
+
+def _quantize(params, cfg, args):
+    from .models.surgery import quantize_model
+
+    params, calibs = _load_and_smooth(params, cfg, args)
     if getattr(args, "hetero", False):
         # budgets-as-data representation (models/hetero.py): stackable /
         # shardable under pp/tp/ep regardless of per-layer budgets
@@ -147,6 +155,12 @@ def cmd_serve(args) -> None:
     from .serve import Engine, Request
     from .serve.sampling import SamplingParams
 
+    if args.tp > 1 and (args.quantized_ckpt or args.weight_only):
+        # validate BEFORE deserializing a multi-GB checkpoint: --tp
+        # quantizes shard-locally from dense weights at startup (baked
+        # single-chip layouts / weight-only pytrees cannot be resharded)
+        raise SystemExit("--tp requires --do-quant from a dense model "
+                         "(not --quantized-ckpt or --weight-only)")
     if args.quantized_ckpt:
         from .models.checkpoint import load_params
         params, cfg, _ = load_params(args.quantized_ckpt)
@@ -180,24 +194,20 @@ def cmd_serve(args) -> None:
                   prefix_cache=args.prefix_cache, **spec_kw)
     if args.tp > 1:
         # multi-chip serving: TP-quantize from the dense checkpoint
-        # (shard-local budgets differ from the single-chip layout, so a
-        # baked single-chip checkpoint cannot be resharded here)
-        assert not args.quantized_ckpt, \
-            "--tp quantizes at startup; use --do-quant, not a baked ckpt"
+        # (shard-local budgets differ from the single-chip layout; the
+        # incompatible input modes were rejected before loading above)
         import jax
-        from .calib import load_calibration, smooth_params
         from .parallel import make_mesh
         from .parallel.tp_serve import make_tp_engine
-        calibs, absmax = load_calibration(args.calibration)
-        if args.smooth and absmax:
-            stats = {k: {"absmax": v} for k, v in absmax.items()}
-            params = smooth_params(params, cfg, stats, alpha=args.alpha)
+        params, calibs = _load_and_smooth(params, cfg, args)
         if args.hetero:
             from .parallel.tp_hetero import quantize_model_tp_hetero
             tparams = quantize_model_tp_hetero(params, cfg, calibs, args.tp)
         else:
             from .parallel.tp_quant import quantize_model_tp
-            tparams = quantize_model_tp(params, cfg, calibs, args.tp)
+            tparams = quantize_model_tp(
+                params, cfg, calibs, args.tp,
+                weight_fp4_only=not args.symmetric_weights)
         mesh = make_mesh(data=1, model=args.tp,
                          devices=jax.devices()[:args.tp])
         eng = make_tp_engine(tparams, cfg, mesh, **eng_kw)

@@ -156,6 +156,18 @@ def capacity_dispatch(weights: jnp.ndarray, capacity: int):
     return idx[:, :capacity], gate[:, :capacity]
 
 
+def _expert_out(ep, toks):
+    """One expert's FFN on ``toks`` — quantized or dense pytree (the
+    single definition shared by the dense-mix, capacity, and EP-stacked
+    paths of moe_block)."""
+    if _is_quant(ep["w1"]):
+        g, u = project_all(toks, ep["site_in"], [ep["w1"], ep["w3"]])
+        return ep["w2"](_silu_mul_q(g, u, ep))
+    g, u = ep["w1"](toks), ep["w3"](toks)
+    return ep["w2"](jax.nn.silu(g.astype(jnp.float32)).astype(
+        jnp.bfloat16) * u)
+
+
 def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
               tap=None) -> jnp.ndarray:
     """Mixtral sparse-MoE block (qMixtralLayer.py:367-452), dense dispatch.
@@ -185,70 +197,35 @@ def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
     if st is not None:
         # EP-serving form (parallel/ep_serve.py): STACKED LOCAL experts
         # under shard_map — every leaf carries a leading local-expert dim
-        # (this layer dict holds the shard's slice).  Each device computes
-        # its experts' contributions on the replicated tokens; ONE psum
-        # over "expert" combines them (the moe_ep.py design, reusing the
-        # per-expert quantized path below verbatim via indexed views).
+        # (this layer dict holds the shard's slice).  Each device runs the
+        # SAME loops below over indexed views of its local experts with
+        # globally-offset indices; one psum per block combines devices.
         assert tap is None, "calibration runs on the unstacked form"
         el = jax.tree.leaves(st["w2"])[0].shape[0]
         e_off = jax.lax.axis_index("expert") * el
-
-        def expert_out(i, toks):
-            ep = jax.tree.map(lambda a: a[i], st)
-            if _is_quant(ep["w1"]):
-                g, u = project_all(toks, ep["site_in"],
-                                   [ep["w1"], ep["w3"]])
-                return ep["w2"](_silu_mul_q(g, u, ep))
-            g, u = ep["w1"](toks), ep["w3"](toks)
-            return ep["w2"](jax.nn.silu(g.astype(jnp.float32)).astype(
-                jnp.bfloat16) * u)
-
-        if cfg.moe_capacity_factor is not None:
-            cap = moe_capacity(cfg, x.shape[0])
-            idx, gate = capacity_dispatch(weights, cap)
-            xn_pad = jnp.concatenate(
-                [xn, jnp.zeros((1, k), xn.dtype)], axis=0)
-            out_pad = jnp.zeros((x.shape[0] + 1, k), jnp.float32)
-            for i in range(el):
-                rows = jax.lax.dynamic_index_in_dim(idx, e_off + i, 0,
-                                                    keepdims=False)
-                gates = jax.lax.dynamic_index_in_dim(gate, e_off + i, 0,
-                                                     keepdims=False)
-                ye = expert_out(i, xn_pad[rows])
-                out_pad = out_pad.at[rows].add(
-                    ye.astype(jnp.float32) * gates[:, None])
-            out = jax.lax.psum(out_pad[:-1], "expert")
-            return out.astype(jnp.bfloat16).reshape(b, s, k)
-        out = jnp.zeros((x.shape[0], k), jnp.float32)
-        for i in range(el):
-            ye = expert_out(i, xn)
-            out = out + ye.astype(jnp.float32) * weights[:,
-                                                         e_off + i][:, None]
-        return jax.lax.psum(out, "expert").astype(jnp.bfloat16).reshape(
-            b, s, k)
+        experts = [(e_off + i, jax.tree.map(lambda a, i=i: a[i], st))
+                   for i in range(el)]
+        combine = lambda o: jax.lax.psum(o, "expert")
+    else:
+        experts = list(enumerate(p["experts"]))
+        combine = lambda o: o
     if cfg.moe_capacity_factor is not None and tap is None:
         # capacity dispatch: each expert runs on <= C gathered tokens, so
-        # FLOPs/token ~ top_k * factor instead of num_experts
+        # FLOPs/token ~ top_k * factor instead of num_experts.  ``e`` may
+        # be a traced global index (EP) — jnp indexing handles both.
         cap = moe_capacity(cfg, x.shape[0])
         idx, gate = capacity_dispatch(weights, cap)
         xn_pad = jnp.concatenate(
             [xn, jnp.zeros((1, k), xn.dtype)], axis=0)
         out_pad = jnp.zeros((x.shape[0] + 1, k), jnp.float32)
-        for e, ep in enumerate(p["experts"]):
-            xg = xn_pad[idx[e]]                              # (C, K)
-            if _is_quant(ep["w1"]):
-                g, u = project_all(xg, ep["site_in"], [ep["w1"], ep["w3"]])
-                dq = _silu_mul_q(g, u, ep)
-                ye = ep["w2"](dq)
-            else:
-                g, u = ep["w1"](xg), ep["w3"](xg)
-                ye = ep["w2"](jax.nn.silu(g.astype(jnp.float32)).astype(
-                    jnp.bfloat16) * u)
-            out_pad = out_pad.at[idx[e]].add(
+        for e, ep in experts:
+            rows = idx[e]                                    # (C,)
+            ye = _expert_out(ep, xn_pad[rows])
+            out_pad = out_pad.at[rows].add(
                 ye.astype(jnp.float32) * gate[e][:, None])
-        return out_pad[:-1].astype(jnp.bfloat16).reshape(b, s, k)
+        return combine(out_pad[:-1]).astype(jnp.bfloat16).reshape(b, s, k)
     out = jnp.zeros((x.shape[0], k), jnp.float32)
-    for e, ep in enumerate(p["experts"]):
+    for e, ep in experts:
         if tap is not None:
             routed = weights[:, e] > 0  # tokens actually routed to e
             tap(f"expert{e}_mlp_in", xn, routed)
@@ -258,17 +235,10 @@ def moe_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
                    u.astype(jnp.float32)).astype(jnp.bfloat16)
             tap(f"expert{e}_down_in", act, routed)
             ye = ep["w2"](act)
-        elif _is_quant(ep["w1"]):
-            g, u = project_all(xn, ep["site_in"], [ep["w1"], ep["w3"]])
-            dq = _silu_mul_q(g, u, ep)
-            ye = ep["w2"](dq)
         else:
-            g = ep["w1"](xn)
-            u = ep["w3"](xn)
-            ye = ep["w2"](jax.nn.silu(g.astype(jnp.float32)).astype(
-                jnp.bfloat16) * u)
+            ye = _expert_out(ep, xn)
         out = out + ye.astype(jnp.float32) * weights[:, e][:, None]
-    return out.astype(jnp.bfloat16).reshape(b, s, k)
+    return combine(out).astype(jnp.bfloat16).reshape(b, s, k)
 
 
 def decoder_layer(h: jnp.ndarray, p: Params, cfg: ModelConfig, cos, sin,

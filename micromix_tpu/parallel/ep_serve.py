@@ -38,13 +38,20 @@ Params = Dict[str, Any]
 def stack_layer_experts(layer: Params) -> Params:
     """One quantized Mixtral layer dict -> stacked-experts form.
 
-    Stacks EVERY leaf of the per-expert dicts along a new leading dim
-    (QuantSite static splits must agree — uniform budgets).  The result
-    feeds moe_block's ``experts_stacked`` branch under shard_map.
+    Stacks EVERY leaf of the per-expert dicts along a new leading dim via
+    moe_ep.stack_hetero_experts (the generic whole-pytree stacker).  The
+    result feeds moe_block's ``experts_stacked`` branch under shard_map.
+    Uniform per-expert budgets are required (QuantSite static splits are
+    part of the treedef) — checked here for a clear error.
     """
+    from .moe_ep import stack_hetero_experts
+
+    sites = [ep["site_in"] for ep in layer["experts"]]
+    assert all(s.splits == sites[0].splits for s in sites), \
+        "uniform per-expert budgets required to stack (got %s)" % (
+            [s.splits for s in sites],)
     out = {k: v for k, v in layer.items() if k != "experts"}
-    out["experts_stacked"] = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *layer["experts"])
+    out["experts_stacked"] = stack_hetero_experts(layer["experts"])
     return out
 
 

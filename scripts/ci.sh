@@ -12,7 +12,7 @@ python -m pytest tests/ -q
 echo "== multi-chip dryrun (dp/tp/ep/sp/pp/spec) =="
 python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
 
-if timeout 180 python -c "import jax; jax.devices()" >/dev/null 2>&1; then
+if timeout 180 python -c "import jax; assert jax.devices()[0].platform != \"cpu\"" >/dev/null 2>&1; then
   echo "== single-chip compile check =="
   python - <<'PY'
 import jax, __graft_entry__ as g
