@@ -188,6 +188,9 @@ def cmd_serve(args) -> None:
         spec_kw = dict(draft_params=load_dense_params(args.draft_model,
                                                       dcfg),
                        draft_cfg=dcfg, spec_gamma=args.spec_gamma)
+    elif getattr(args, "spec_ngram", 0):
+        spec_kw = dict(spec_ngram=args.spec_ngram,
+                       spec_gamma=args.spec_gamma)
     eng_kw = dict(max_seqs=args.max_seqs, page_size=args.page_size,
                   kv_bits=args.kv_bits or 4,
                   decode_chunk=args.decode_chunk,
@@ -344,6 +347,10 @@ def main(argv=None) -> None:
                         "enables speculative decoding")
     s.add_argument("--spec-gamma", type=int, default=4,
                    help="draft tokens proposed per speculative round")
+    s.add_argument("--spec-ngram", type=int, default=0, metavar="N",
+                   help="draft-free prompt-lookup speculation: propose "
+                        "continuations of the latest matching N-gram in "
+                        "each request's own history (no draft model)")
     s.add_argument("--profile", default=None, metavar="LOGDIR",
                    help="capture a jax.profiler trace of the run")
     s.add_argument("--temperature", type=float, default=0.0)

@@ -385,12 +385,36 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
 
         return jax.jit(wrapped)
 
+    def plookup_multi(gamma: int, n_rounds: int, ngram: int):
+        """StepFns.plookup_multi factory: shard-mapped prompt-lookup
+        speculation.  The token window and the propose/accept math are
+        replicated (tiny next to the sharded weights); target verify
+        runs with local heads (tp_verify_block) — the draft-free analog
+        of spec_multi above."""
+        from ..serve.speculative import plookup_decode_multi
+
+        def body(tp_p, tc, st, sid, key, temps):
+            return plookup_decode_multi(
+                tp_p, cfg_l, tc, st, sid, key, temps, gamma=gamma,
+                ngram=ngram, n_rounds=n_rounds, verify_fn=tp_verify_block)
+
+        def wrapped(tp_p, tc, st, sid, key, temps):
+            fn = jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(pspecs, cache_specs(tc), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), cache_specs(tc)),
+                check_vma=False)
+            return fn(tp_p, tc, st, sid, key, temps)
+
+        return jax.jit(wrapped)
+
     from ..serve.engine import StepFns
     return StepFns(prefill=prefill_fn, decode=decode_fn,
                    decode_multi=decode_multi_fns,
                    prefill_hist=prefill_hist,
                    prefill_batch=prefill_batch_fn,
-                   spec_multi=spec_multi)
+                   spec_multi=spec_multi,
+                   plookup_multi=plookup_multi)
 
 
 def _is_hetero(params: Params) -> bool:

@@ -78,6 +78,9 @@ class StepFns:
     prefill_hist: Optional[Any] = None
     prefill_batch: Optional[Any] = None
     spec_multi: Optional[Any] = None
+    # ``(gamma, n_rounds, ngram) -> jitted fn`` factory enabling draft-
+    # free prompt-lookup speculation (Engine(spec_ngram=...)).
+    plookup_multi: Optional[Any] = None
 
 
 @dataclasses.dataclass
@@ -104,6 +107,7 @@ class Engine:
                  seed: int = 0, step_fns=None, cache_sharding=None,
                  draft_params=None, draft_cfg: Optional[ModelConfig] = None,
                  spec_gamma: int = 4, spec_rounds: Optional[int] = None,
+                 spec_ngram: int = 0, spec_window: int = 256,
                  piggyback: bool = True, prefix_cache: bool = False):
         self.params = params
         self.cfg = cfg
@@ -246,6 +250,43 @@ class Engine:
         self.spec_rounds = spec_rounds or max(
             1, decode_chunk // (spec_gamma + 1))
         self.dcaches = None
+        # prompt-lookup (n-gram) speculation: draft-model-free — the
+        # proposals come from each request's own token history, matched
+        # in-graph (serve/speculative.py plookup_*).  Shares the verify/
+        # accept machinery and engine plumbing with draft-model spec mode
+        # but needs no draft cache and no prefill mirroring.
+        self.spec_ngram = spec_ngram
+        self.spec_window = spec_window
+        self._plookup = spec_ngram > 0
+        if self._plookup and draft_params is not None:
+            raise ValueError("spec_ngram and draft_params are mutually "
+                             "exclusive speculation modes")
+        self._spec_on = self._plookup or draft_params is not None
+        if self._plookup:
+            if step_fns is not None and \
+                    getattr(step_fns, "plookup_multi", None) is None:
+                raise ValueError("prompt-lookup speculation with custom "
+                                 "step_fns requires a StepFns."
+                                 "plookup_multi factory")
+            self._piggyback_ok = False
+            self._spec_piggyback_ok = piggyback and step_fns is None
+            self._spec_piggy_cache: Dict[int, Any] = {}
+            # buffer columns: lookup window + slack for in-scan appends
+            self._plookup_T = spec_window + self.spec_rounds * (
+                self.spec_gamma + 1)
+            from .speculative import plookup_decode_multi
+            gamma, rounds, ng = (self.spec_gamma, self.spec_rounds,
+                                 spec_ngram)
+            tcfg = cfg
+            if step_fns is not None:
+                self._plookup_multi = step_fns.plookup_multi(
+                    gamma, rounds, ng)
+            else:
+                self._plookup_multi = jax.jit(
+                    lambda tp, tc, st, sid, key, temps:
+                    plookup_decode_multi(tp, tcfg, tc, st, sid, key,
+                                         temps, gamma=gamma, ngram=ng,
+                                         n_rounds=rounds))
         if draft_params is not None:
             if step_fns is not None and step_fns.spec_multi is None:
                 raise ValueError("speculative decoding with custom step_fns "
@@ -618,6 +659,44 @@ class Engine:
                                     n_rounds=rounds, sample_mode=m))
         return self._spec_piggy_cache[(hist_key, mode)]
 
+    def _plookup_piggy_for(self, hist_key: int, mode: str):
+        """Fused plookup_prefill_decode program per (history-length,
+        first-token sample mode) key — draft-free analog of
+        _spec_piggy_for."""
+        if (hist_key, mode) not in self._spec_piggy_cache:
+            from .speculative import plookup_prefill_decode
+            tcfg = self.cfg
+            gamma, rounds, ng = (self.spec_gamma, self.spec_rounds,
+                                 self.spec_ngram)
+            self._spec_piggy_cache[(hist_key, mode)] = jax.jit(
+                lambda tp, tc, pt, psid, psp, pli, ptl, ptemp,
+                pk, pp, st, sid, key, temps, h=hist_key, m=mode:
+                plookup_prefill_decode(tp, tcfg, tc, pt, psid, psp, pli,
+                                       ptl, ptemp, pk, pp, st, sid, key,
+                                       temps, hist_len=h, gamma=gamma,
+                                       ngram=ng, n_rounds=rounds,
+                                       sample_mode=m))
+        return self._spec_piggy_cache[(hist_key, mode)]
+
+    def _plookup_state(self, seq_ids, positions):
+        """Host-built rolling token window for prompt-lookup rounds:
+        each active row gets the tail (last spec_window tokens) of its
+        full sequence; slack columns absorb the rounds' in-scan appends.
+        """
+        from .speculative import PLookupState
+        toks = np.zeros((self.max_seqs, self._plookup_T), np.int32)
+        lens = np.zeros((self.max_seqs,), np.int32)
+        for i, s in enumerate(self.slots):
+            if seq_ids[i] != i or s.req is None:
+                continue
+            seq = s.req.prompt + s.req.output
+            tail = seq[-min(len(seq), self.spec_window):]
+            toks[i, :len(tail)] = tail
+            lens[i] = len(tail)
+        return PLookupState(tokens=jnp.asarray(toks),
+                            length=jnp.asarray(lens),
+                            positions=jnp.asarray(positions))
+
     def _draft_prefill_for(self, hist_gather: int):
         """Draft-model mirror of _prefill_for (spec mode, chunked)."""
         key = (hist_gather if jax.default_backend() == "cpu" else -1) \
@@ -847,7 +926,7 @@ class Engine:
             [s.req.sampling for s in self.slots if s.req is not None]) \
             or any(s.req is not None and s.req.logprobs
                    for s in self.slots)
-        if self.dcaches is not None:
+        if self._spec_on:
             ready_now = [i for i, s in enumerate(self.slots) if s.ready]
             piggy = (self._pick_piggy(handled)
                      if self._spec_piggyback_ok and ready_now
@@ -873,7 +952,7 @@ class Engine:
             return False
         if not active:
             return True
-        if self.dcaches is not None:
+        if self._spec_on:
             if self._spec_ok(active):
                 with self._phase("spec"):
                     self._spec_step(active, piggy=piggy)
@@ -1039,8 +1118,11 @@ class Engine:
             if s.req is not None:
                 temps[i] = s.req.sampling.temperature
         self._sample_step += 1
-        state = SpecState(prev=jnp.asarray(prev), cur=jnp.asarray(cur),
-                          positions=jnp.asarray(positions))
+        if self._plookup:
+            state = self._plookup_state(seq_ids, positions)
+        else:
+            state = SpecState(prev=jnp.asarray(prev), cur=jnp.asarray(cur),
+                              positions=jnp.asarray(positions))
         key = jax.random.fold_in(self._base_key, self._sample_step)
         if piggy is not None and self.slots[piggy].req is not None \
                 and self.slots[piggy].pending:
@@ -1057,16 +1139,22 @@ class Engine:
             ptoks[0, :n] = pchunk
             sp = slot.req.sampling
             pmode = pick_sample_mode([sp])
-            ptok, emitted, n_emitted, _, self.caches, self.dcaches = \
-                self._spec_piggy_for(hist_key, pmode)(
-                    self.params, self.draft_params, self.caches,
-                    self.dcaches, jnp.asarray(ptoks), jnp.int32(piggy),
-                    jnp.int32(hist), jnp.int32(n - 1),
-                    jnp.int32(hist + n),
-                    jnp.asarray([sp.temperature], np.float32),
-                    jnp.asarray([sp.top_k], np.int32),
-                    jnp.asarray([sp.top_p], np.float32),
-                    state, jnp.asarray(seq_ids), key, jnp.asarray(temps))
+            pargs = (jnp.asarray(ptoks), jnp.int32(piggy),
+                     jnp.int32(hist), jnp.int32(n - 1),
+                     jnp.int32(hist + n),
+                     jnp.asarray([sp.temperature], np.float32),
+                     jnp.asarray([sp.top_k], np.int32),
+                     jnp.asarray([sp.top_p], np.float32),
+                     state, jnp.asarray(seq_ids), key, jnp.asarray(temps))
+            if self._plookup:
+                ptok, emitted, n_emitted, _, self.caches = \
+                    self._plookup_piggy_for(hist_key, pmode)(
+                        self.params, self.caches, *pargs)
+            else:
+                ptok, emitted, n_emitted, _, self.caches, self.dcaches = \
+                    self._spec_piggy_for(hist_key, pmode)(
+                        self.params, self.draft_params, self.caches,
+                        self.dcaches, *pargs)
             slot.pos = hist + n
             slot.pending = slot.pending[n:]
             self.prefill_tokens += n
@@ -1076,6 +1164,10 @@ class Engine:
                     slot.req.req_id,
                     time.time() - self._t_submit[slot.req.req_id])
                 self._emit(piggy, int(np.asarray(ptok)[0]))
+        elif self._plookup:
+            emitted, n_emitted, _, self.caches = self._plookup_multi(
+                self.params, self.caches, state, jnp.asarray(seq_ids),
+                key, jnp.asarray(temps))
         else:
             emitted, n_emitted, _, self.caches, self.dcaches = \
                 self._spec_multi(
@@ -1106,9 +1198,11 @@ class Engine:
             self.caches = self._set_len_many(
                 self.caches, jnp.asarray(live, jnp.int32),
                 jnp.asarray([self.slots[i].pos for i in live], jnp.int32))
-            self.dcaches = self._set_len_many(
-                self.dcaches, jnp.asarray(live, jnp.int32),
-                jnp.asarray([self.slots[i].pos for i in live], jnp.int32))
+            if self.dcaches is not None:
+                self.dcaches = self._set_len_many(
+                    self.dcaches, jnp.asarray(live, jnp.int32),
+                    jnp.asarray([self.slots[i].pos for i in live],
+                                jnp.int32))
 
     def run(self, requests: List[Request]) -> List[Request]:
         for r in requests:

@@ -248,6 +248,186 @@ def spec_decode_multi(tparams: Params, dparams: Params, cfg: ModelConfig,
     return emitted, n_emitted, state, tcaches, dcaches
 
 
+# ---------------- prompt-lookup (n-gram) speculation ----------------
+#
+# Draft-model-free speculation: proposals come from the request's own
+# token history (prompt + generated so far) by matching the latest
+# occurrence of the current ngram-token suffix and proposing the tokens
+# that followed it — the vLLM "ngram" speculator / prompt-lookup decoding
+# idea, re-expressed fully in-graph so that multiple rounds still run in
+# ONE dispatch (lax.scan), like the draft-model path above.  The target
+# verify / accept-rollback machinery is reused unchanged: a deterministic
+# proposal is a valid draft distribution q = δ(proposed), under which the
+# accept rule min(1, p_t/q) degenerates to accept-with-prob p_t(proposed)
+# and the residual is p_t with the proposed token masked out — still
+# exactly target-distribution-preserving.  No draft params, no draft KV
+# cache, no prefill mirroring: the only state is a rolling token window
+# the host refreshes per dispatch (it owns the token lists anyway).
+
+
+@dataclasses.dataclass(frozen=True)
+class PLookupState:
+    """Per-slot carry for prompt-lookup rounds.
+
+    ``tokens`` holds the tail of each slot's full sequence (prompt +
+    emitted) with ``length`` valid entries; ``tokens[length-1]`` is the
+    token sitting at KV position ``positions`` (the next one whose K/V a
+    round will append).  The buffer needs >= n_rounds*(gamma+1) slack
+    columns beyond the lookup window so in-scan appends never overflow
+    (the engine sizes it so).
+    """
+
+    tokens: jnp.ndarray     # (B, T) int32
+    length: jnp.ndarray     # (B,) int32
+    positions: jnp.ndarray  # (B,) int32
+
+
+jax.tree_util.register_dataclass(
+    PLookupState, data_fields=["tokens", "length", "positions"],
+    meta_fields=[])
+
+
+def plookup_propose(tokens: jnp.ndarray, length: jnp.ndarray, *,
+                    gamma: int, ngram: int) -> jnp.ndarray:
+    """Latest-match n-gram continuation proposal, vectorized over slots.
+
+    For each row, find the LATEST position j < length-1 where the
+    ``ngram`` tokens ending at j equal the row's trailing ``ngram``
+    tokens, and propose ``tokens[j+1 : j+1+gamma]``.  Rows with no match
+    (or not enough history) propose ``gamma`` copies of the current
+    token — a throwaway proposal the accept rule simply rejects, so the
+    round degenerates to one fixup token, exactly a plain decode step.
+
+    Returns proposed (B, gamma) int32.
+    """
+    b, t = tokens.shape
+    idx = jnp.arange(t, dtype=jnp.int32)
+    # trailing ngram suffix per row (rows shorter than ngram are guarded
+    # out via `found` below, so the index clip cannot fabricate a match)
+    suf_idx = jnp.clip(length[:, None] - ngram + jnp.arange(ngram)[None],
+                       0, t - 1)
+    suffix = jnp.take_along_axis(tokens, suf_idx, axis=1)   # (B, ngram)
+    # eq[b, j] = window of ngram tokens ENDING at j matches the suffix
+    eq = jnp.ones((b, t), bool)
+    for d in range(ngram):
+        shift = ngram - 1 - d
+        shifted = (jnp.pad(tokens, ((0, 0), (shift, 0)),
+                           constant_values=-1)[:, :t]
+                   if shift else tokens)
+        eq = eq & (shifted == suffix[:, d:d + 1])
+    # exclude the suffix occurrence itself (j = length-1) and windows
+    # reaching into the invalid tail
+    valid = (idx[None] >= ngram - 1) & (idx[None] <= length[:, None] - 2)
+    j_sel = jnp.max(jnp.where(eq & valid, idx[None], -1), axis=1)  # (B,)
+    found = (j_sel >= 0) & (length >= ngram + 1)
+    cont = j_sel[:, None] + 1 + jnp.arange(gamma, dtype=jnp.int32)[None]
+    ok = found[:, None] & (cont <= length[:, None] - 1)
+    cur = jnp.take_along_axis(
+        tokens, jnp.maximum(length - 1, 0)[:, None], axis=1)   # (B, 1)
+    proposed = jnp.where(
+        ok, jnp.take_along_axis(tokens, jnp.clip(cont, 0, t - 1), axis=1),
+        cur)
+    return proposed.astype(jnp.int32)
+
+
+def plookup_round(tparams: Params, cfg: ModelConfig, tcaches: Caches,
+                  state: PLookupState, seq_ids: jnp.ndarray,
+                  key: jax.Array, temps: jnp.ndarray, *, gamma: int,
+                  ngram: int, verify_fn=verify_block):
+    """One propose/verify/accept round without a draft model.
+
+    Returns (emitted (B, gamma+1), n_emitted (B,), new state, tcaches).
+    """
+    b, t = state.tokens.shape
+    proposed = plookup_propose(state.tokens, state.length, gamma=gamma,
+                               ngram=ngram)
+    cur = jnp.take_along_axis(
+        state.tokens, jnp.maximum(state.length - 1, 0)[:, None],
+        axis=1)[:, 0]
+    block = jnp.concatenate([cur[:, None], proposed], axis=1)
+    tlogits, tcaches = verify_fn(tparams, cfg, tcaches, block, seq_ids,
+                                 state.positions)
+    # deterministic draft: q = one-hot(proposed)
+    dprobs = jax.nn.one_hot(proposed, tlogits.shape[-1],
+                            dtype=jnp.float32)
+    emitted, n_emitted, _ = accept_tokens(proposed, dprobs, tlogits, key,
+                                          temps)
+    new_pos = state.positions + n_emitted
+    tcaches = _set_lengths(tcaches, seq_ids, new_pos)
+    # append the emitted tokens into the rolling window (masked writes
+    # beyond n_emitted or the buffer edge are dropped)
+    arange_g = jnp.arange(gamma + 1, dtype=jnp.int32)
+    wid = state.length[:, None] + arange_g[None]
+    mask = (arange_g[None] < n_emitted[:, None]) & (wid < t)
+    wid = jnp.where(mask, wid, t)
+    tokens = state.tokens.at[
+        jnp.arange(b)[:, None], wid].set(emitted, mode="drop")
+    new_state = PLookupState(tokens=tokens,
+                             length=jnp.minimum(state.length + n_emitted,
+                                                t),
+                             positions=new_pos)
+    return emitted, n_emitted, new_state, tcaches
+
+
+def plookup_decode_multi(tparams: Params, cfg: ModelConfig,
+                         tcaches: Caches, state: PLookupState,
+                         seq_ids: jnp.ndarray, key: jax.Array,
+                         temps: jnp.ndarray, *, gamma: int, ngram: int,
+                         n_rounds: int, verify_fn=verify_block):
+    """``n_rounds`` prompt-lookup rounds in ONE program (lax.scan).
+
+    Returns (emitted (n_rounds, B, gamma+1), n_emitted (n_rounds, B),
+    final state, tcaches) — the spec_decode_multi contract minus the
+    draft caches.
+    """
+    def body(carry, i):
+        tcaches, state = carry
+        k = jax.random.fold_in(key, i)
+        emitted, n_emitted, state, tcaches = plookup_round(
+            tparams, cfg, tcaches, state, seq_ids, k, temps, gamma=gamma,
+            ngram=ngram, verify_fn=verify_fn)
+        return (tcaches, state), (emitted, n_emitted)
+
+    (tcaches, state), (emitted, n_emitted) = jax.lax.scan(
+        body, (tcaches, state), jnp.arange(n_rounds, dtype=jnp.int32))
+    return emitted, n_emitted, state, tcaches
+
+
+def plookup_prefill_decode(tparams: Params, cfg: ModelConfig,
+                           tcaches: Caches, ptokens: jnp.ndarray,
+                           pseq_id: jnp.ndarray, pstart: jnp.ndarray,
+                           plast: jnp.ndarray, ptrue_len: jnp.ndarray,
+                           ptemp: jnp.ndarray, ptop_k: jnp.ndarray,
+                           ptop_p: jnp.ndarray, state: PLookupState,
+                           seq_ids: jnp.ndarray, key: jax.Array,
+                           temps: jnp.ndarray, *, hist_len: int,
+                           gamma: int, ngram: int, n_rounds: int,
+                           sample_mode: str = "simple"):
+    """Piggybacked prompt-lookup step: one pending slot's prefill chunk,
+    its true-length fixup, and its first-token sample ride the lookup
+    rounds dispatch as ONE program (spec_prefill_decode minus the draft
+    mirror — there is no draft cache to keep in sync).
+
+    Returns (first token (1,) int32, emitted (n_rounds, B, gamma+1),
+    n_emitted (n_rounds, B), final state, tcaches).
+    """
+    import dataclasses as _dc
+
+    from .runner import prefill
+    from .sampling import sample_batch
+
+    plogits, tcaches = prefill(tparams, cfg, tcaches, ptokens, pseq_id,
+                               pstart, plast, hist_len=hist_len)
+    tcaches = [_dc.replace(c, lengths=c.lengths.at[pseq_id].set(ptrue_len))
+               for c in tcaches]
+    ptok = sample_batch(plogits, jax.random.fold_in(key, n_rounds),
+                        ptemp, ptop_k, ptop_p, mode=sample_mode)
+    emitted, n_emitted, state, tcaches = plookup_decode_multi(
+        tparams, cfg, tcaches, state, seq_ids, key, temps, gamma=gamma,
+        ngram=ngram, n_rounds=n_rounds)
+    return ptok, emitted, n_emitted, state, tcaches
+
+
 def spec_prefill_decode(tparams: Params, dparams: Params, cfg: ModelConfig,
                         dcfg: ModelConfig, tcaches: Caches, dcaches: Caches,
                         ptokens: jnp.ndarray, pseq_id: jnp.ndarray,

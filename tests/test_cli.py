@@ -143,6 +143,31 @@ def test_cli_serve_speculative(ckpt, tmp_path, capsys):
     assert 0.0 <= stats["spec_accept_rate"] <= 1.0
 
 
+def test_cli_serve_plookup(ckpt, tmp_path, capsys):
+    """--spec-ngram enables draft-free prompt-lookup speculation from
+    the shell (no --draft-model needed)."""
+    calib = str(tmp_path / "calib.npz")
+    main(["calibrate", "--model", ckpt, "--samples", "2", "--seqlen", "32",
+          "--dataset", "synthetic", "--output", calib])
+    qdir = str(tmp_path / "quantized")
+    main(["quantize", "--model", ckpt, "--calibration", calib,
+          "--output", qdir])
+    capsys.readouterr()
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("w1 w2 w1 w2 w1\nw4 w5\n")
+    main(["serve", "--model", ckpt, "--quantized-ckpt", qdir,
+          "--prompts", str(prompts), "--max-new-tokens", "6",
+          "--max-seqs", "2", "--page-size", "16", "--decode-chunk", "2",
+          "--spec-ngram", "2", "--spec-gamma", "2"])
+    out = capsys.readouterr().out
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["requests"] == 2
+    assert stats["decode_tokens"] > 0
+    assert "spec_accept_rate" in stats
+    assert 0.0 <= stats["spec_accept_rate"] <= 1.0
+
+
 def test_cli_serve_tensor_parallel(ckpt, tmp_path, capsys):
     """serve --tp 2 quantizes shard-locally at startup and runs the
     shard-mapped engine over the first two (virtual CPU) devices."""
