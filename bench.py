@@ -162,7 +162,29 @@ def main() -> None:
     }
 
 
+def _probe_backend(timeout_s: int = 300) -> None:
+    """Fail fast (instead of hanging forever) when the axon TPU tunnel is
+    down: jax backend init blocks indefinitely in-process, so probe it in
+    a bounded subprocess first (the scripts/ci.sh pattern) and exit
+    nonzero with a diagnostic if no device answers."""
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+        if probe.returncode == 0:
+            return
+        msg = probe.stderr.strip().splitlines()[-1:] or ["?"]
+        print(f"bench: jax backend init failed: {msg[0]}", file=sys.stderr)
+    except subprocess.TimeoutExpired:
+        print(f"bench: jax backend init did not answer within "
+              f"{timeout_s}s (axon tunnel down?) — aborting instead of "
+              f"hanging", file=sys.stderr)
+    sys.exit(1)
+
+
 if __name__ == "__main__":
+    _probe_backend()
     if "--validate" in sys.argv:
         validate()
     # measure the kernel headline FIRST (fresh process/chip state — the 8B

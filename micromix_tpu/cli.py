@@ -175,8 +175,13 @@ def cmd_serve(args) -> None:
             params = _quantize(params, cfg, args)
     tok = _tokenizer(args)
 
-    with open(args.prompts) as f:
-        prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
+    if not args.port and not args.prompts:
+        raise SystemExit("serve: need --prompts FILE (batch mode) or "
+                         "--port N (HTTP API mode)")
+    prompts = []
+    if args.prompts:
+        with open(args.prompts) as f:
+            prompts = [ln.rstrip("\n") for ln in f if ln.strip()]
     spec_kw = {}
     if getattr(args, "draft_model", None):
         # speculative decoding: the draft stays dense bf16 (it is small;
@@ -216,6 +221,20 @@ def cmd_serve(args) -> None:
         eng = make_tp_engine(tparams, cfg, mesh, **eng_kw)
     else:
         eng = Engine(params, cfg, **eng_kw)
+    if args.port:
+        # HTTP API mode: OpenAI-style completions server over the engine
+        from .serve.api import ApiServer
+        srv = ApiServer(
+            eng, lambda s: tok(s)["input_ids"],
+            lambda ids: tok.decode(ids, skip_special_tokens=True),
+            model_name=os.path.basename(args.model.rstrip("/")),
+            eos_id=tok.eos_token_id, port=args.port)
+        print(json.dumps({"serving": f"http://127.0.0.1:{srv.port}",
+                          "endpoints": ["/v1/completions", "/v1/models",
+                                        "/health", "/metrics"]}),
+              flush=True)
+        srv.serve_forever()
+        return
     sampling = SamplingParams(temperature=args.temperature,
                               top_k=args.top_k, top_p=args.top_p)
     reqs = [
@@ -259,6 +278,10 @@ def cmd_serve(args) -> None:
 
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(prog="micromix_tpu")
+    ap.add_argument("--platform", choices=("auto", "cpu"), default="auto",
+                    help="force the jax platform (cpu = run without TPU "
+                         "access, e.g. smoke-testing when the device "
+                         "tunnel is unavailable)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("calibrate", help="reorder-index calibration")
@@ -330,7 +353,12 @@ def main(argv=None) -> None:
     s.add_argument("--hetero", action="store_true",
                    help="budgets-as-data hetero representation "
                         "(stackable/shardable under pp/tp/ep)")
-    s.add_argument("--prompts", required=True, help="file, one prompt/line")
+    s.add_argument("--prompts", default=None,
+                   help="file, one prompt/line (batch mode)")
+    s.add_argument("--port", type=int, default=0, metavar="N",
+                   help="run an OpenAI-style completions HTTP server "
+                        "instead of batch mode (/v1/completions, "
+                        "/v1/models, /health, /metrics)")
     s.add_argument("--max-new-tokens", type=int, default=128)
     s.add_argument("--max-seqs", type=int, default=8)
     s.add_argument("--page-size", type=int, default=128)
@@ -359,6 +387,11 @@ def main(argv=None) -> None:
     s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
+    if args.platform == "cpu":
+        # must land before any backend init (the container sitecustomize
+        # registers a TPU backend and the env pins JAX_PLATFORMS to it)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     args.fn(args)
 
 

@@ -18,3 +18,4 @@ __all__ = [
     "sample", "Engine", "Request",
 ]
 from .router import Router  # noqa: E402,F401
+from .api import ApiServer  # noqa: E402,F401

@@ -168,6 +168,52 @@ def test_cli_serve_plookup(ckpt, tmp_path, capsys):
     assert 0.0 <= stats["spec_accept_rate"] <= 1.0
 
 
+def test_cli_serve_http_api(ckpt, tmp_path):
+    """serve --port runs the OpenAI-style HTTP server from the shell:
+    boot it as a subprocess over the synthetic checkpoint and hit
+    /health and /v1/completions like a client would."""
+    import http.client
+    import socket
+    import subprocess
+    import sys
+    import time as _time
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "micromix_tpu.cli", "--platform", "cpu",
+         "serve", "--model", ckpt, "--weight-only", "mxfp8",
+         "--max-seqs", "2", "--page-size", "16", "--decode-chunk", "2",
+         "--port", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True)
+    try:
+        line = proc.stdout.readline()  # blocks until the server is up
+        if not line:
+            raise AssertionError(proc.stderr.read())
+        assert json.loads(line)["serving"].endswith(str(port)), line
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("GET", "/health")
+        assert conn.getresponse().status == 200
+        conn.close()
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+        conn.request("POST", "/v1/completions",
+                     json.dumps({"prompt": "w1 w2 w3", "max_tokens": 3}),
+                     {"Content-Type": "application/json"})
+        resp = conn.getresponse()
+        assert resp.status == 200
+        out = json.loads(resp.read())
+        conn.close()
+        assert out["usage"]["completion_tokens"] == 3
+        assert out["choices"][0]["text"].strip()
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
+
+
 def test_cli_serve_tensor_parallel(ckpt, tmp_path, capsys):
     """serve --tp 2 quantizes shard-locally at startup and runs the
     shard-mapped engine over the first two (virtual CPU) devices."""
