@@ -224,14 +224,21 @@ def cmd_serve(args) -> None:
     if args.port:
         # HTTP API mode: OpenAI-style completions server over the engine
         from .serve.api import ApiServer
+        chat_tpl = None
+        if getattr(tok, "chat_template", None):
+            chat_tpl = lambda msgs: tok.apply_chat_template(  # noqa: E731
+                msgs, tokenize=False, add_generation_prompt=True)
         srv = ApiServer(
             eng, lambda s: tok(s)["input_ids"],
             lambda ids: tok.decode(ids, skip_special_tokens=True),
             model_name=os.path.basename(args.model.rstrip("/")),
-            eos_id=tok.eos_token_id, port=args.port)
+            eos_id=tok.eos_token_id, chat_template=chat_tpl,
+            port=args.port)
         print(json.dumps({"serving": f"http://127.0.0.1:{srv.port}",
-                          "endpoints": ["/v1/completions", "/v1/models",
-                                        "/health", "/metrics"]}),
+                          "endpoints": ["/v1/completions",
+                                        "/v1/chat/completions",
+                                        "/v1/models", "/health",
+                                        "/metrics"]}),
               flush=True)
         srv.serve_forever()
         return

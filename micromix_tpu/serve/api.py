@@ -20,6 +20,8 @@ Endpoints:
   POST /v1/completions   prompt, max_tokens, temperature, top_k, top_p,
                          repetition_penalty, min_new_tokens, logprobs,
                          stop (strings) / stop_token_ids, stream (SSE)
+  POST /v1/chat/completions   messages [{role, content}], same sampling
+                         params; rendered through ``chat_template``
   GET  /v1/models        model listing
   GET  /health           liveness
   GET  /metrics          text-format counters (Prometheus-style)
@@ -67,6 +69,8 @@ class ApiServer:
                  decode: Callable[[List[int]], str], *,
                  model_name: str = "micromix", eos_id: Optional[int] = None,
                  max_new_tokens_cap: int = 2048,
+                 chat_template: Optional[
+                     Callable[[List[Dict[str, str]]], str]] = None,
                  host: str = "127.0.0.1", port: int = 0):
         self.router = engine if isinstance(engine, Router) \
             else Router([engine])
@@ -75,6 +79,7 @@ class ApiServer:
         self.model_name = model_name
         self.eos_id = eos_id
         self.cap = max_new_tokens_cap
+        self.chat_template = chat_template or _default_chat_template
         self._lock = threading.Lock()        # guards ALL engine access
         self._submit_q: "queue.Queue[_Live]" = queue.Queue()
         self._live: Dict[int, _Live] = {}
@@ -190,16 +195,21 @@ class ApiServer:
             return ids[:-1]
         return ids
 
-    def _completion_json(self, req: Request, text: str,
-                         finish: str) -> Dict[str, Any]:
+    def _completion_json(self, req: Request, text: str, finish: str,
+                         chat: bool = False) -> Dict[str, Any]:
+        if chat:
+            choice: Dict[str, Any] = {
+                "index": 0, "finish_reason": finish,
+                "message": {"role": "assistant", "content": text}}
+        else:
+            choice = {"index": 0, "text": text, "finish_reason": finish}
         out: Dict[str, Any] = {
-            "id": f"cmpl-{uuid.uuid4().hex[:24]}",
-            "object": "text_completion",
+            "id": f"{'chatcmpl' if chat else 'cmpl'}-"
+                  f"{uuid.uuid4().hex[:24]}",
+            "object": "chat.completion" if chat else "text_completion",
             "created": int(time.time()),
             "model": self.model_name,
-            "choices": [{
-                "index": 0, "text": text, "finish_reason": finish,
-            }],
+            "choices": [choice],
             "usage": {
                 "prompt_tokens": len(req.prompt),
                 "completion_tokens": len(req.output),
@@ -275,24 +285,30 @@ class ApiServer:
                     self._json(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path != "/v1/completions":
+                chat = self.path == "/v1/chat/completions"
+                if self.path != "/v1/completions" and not chat:
                     self._json(404, {"error": "not found"})
                     return
                 try:
                     n = int(self.headers.get("Content-Length", 0))
                     body = json.loads(self.rfile.read(n) or b"{}")
-                except (ValueError, json.JSONDecodeError) as e:
+                    if chat:
+                        body = dict(body)
+                        body["prompt"] = server.chat_template(
+                            body.get("messages", []))
+                except (ValueError, TypeError, KeyError,
+                        json.JSONDecodeError) as e:
                     self._json(400, {"error": f"bad request: {e}"})
                     return
                 try:
                     if body.get("stream"):
-                        self._stream(body)
+                        self._stream(body, chat=chat)
                     else:
-                        self._complete(body)
+                        self._complete(body, chat=chat)
                 except BrokenPipeError:
                     pass  # client went away mid-response
 
-            def _complete(self, body):
+            def _complete(self, body, chat=False):
                 lv = server._build_request(body, streaming=False)
                 server.submit(lv)
                 lv.done.wait()
@@ -300,9 +316,10 @@ class ApiServer:
                 text = server.decode(server._strip_stop(req, req.output))
                 text, trimmed = _trim_stops(text, lv.stop_strs)
                 finish = "stop" if trimmed else server._finish_reason(req)
-                self._json(200, server._completion_json(req, text, finish))
+                self._json(200, server._completion_json(req, text, finish,
+                                                        chat=chat))
 
-            def _stream(self, body):
+            def _stream(self, body, chat=False):
                 lv = server._build_request(body, streaming=True)
                 self.send_response(200)
                 self.send_header("Content-Type", "text/event-stream")
@@ -312,7 +329,34 @@ class ApiServer:
                 server.submit(lv)
                 req, sent = lv.req, 0
                 finish = None
+
+                def ev(delta_text, fin):
+                    if chat:
+                        d: Dict[str, Any] = {}
+                        if fin is None:
+                            d["content"] = delta_text
+                        choice = {"index": 0, "delta": d,
+                                  "finish_reason": fin}
+                    else:
+                        choice = {"index": 0, "text": delta_text,
+                                  "finish_reason": fin}
+                    return json.dumps({
+                        "id": f"{'chatcmpl' if chat else 'cmpl'}-"
+                              f"{req.req_id}",
+                        "object": ("chat.completion.chunk" if chat
+                                   else "text_completion"),
+                        "model": server.model_name,
+                        "choices": [choice]})
+
                 try:
+                    if chat:  # role announcement chunk (OpenAI shape)
+                        self._chunk(json.dumps({
+                            "id": f"chatcmpl-{req.req_id}",
+                            "object": "chat.completion.chunk",
+                            "model": server.model_name,
+                            "choices": [{"index": 0,
+                                         "delta": {"role": "assistant"},
+                                         "finish_reason": None}]}))
                     while True:
                         tok = lv.tokens.get()
                         if tok is None:
@@ -332,23 +376,12 @@ class ApiServer:
                         if trimmed:
                             delta = trimmed_text[len(prev):]
                             finish = "stop"
-                        self._chunk(json.dumps({
-                            "id": f"cmpl-{req.req_id}",
-                            "object": "text_completion",
-                            "model": server.model_name,
-                            "choices": [{"index": 0, "text": delta,
-                                         "finish_reason": None}]}))
+                        self._chunk(ev(delta, None))
                         if trimmed:
                             server.cancel(req.req_id)
                             break
-                    self._chunk(json.dumps({
-                        "id": f"cmpl-{req.req_id}",
-                        "object": "text_completion",
-                        "model": server.model_name,
-                        "choices": [{
-                            "index": 0, "text": "",
-                            "finish_reason": finish or
-                            server._finish_reason(req)}]}))
+                    self._chunk(ev("", finish or
+                                   server._finish_reason(req)))
                     self._chunk("[DONE]")
                     self.wfile.write(b"0\r\n\r\n")  # end chunked body
                 except BrokenPipeError:
@@ -392,6 +425,15 @@ class ApiServer:
         self._httpd.server_close()
         for t in self._threads:
             t.join(timeout=5)
+
+
+def _default_chat_template(messages: List[Dict[str, str]]) -> str:
+    """Plain-text fallback template (HF tokenizers with a real chat
+    template are passed in via ``chat_template=tok.apply_chat_template``
+    — the CLI does so when the tokenizer has one)."""
+    lines = [f"{m.get('role', 'user')}: {m.get('content', '')}"
+             for m in messages]
+    return "\n".join(lines + ["assistant:"])
 
 
 def _trim_stops(text: str, stop_strs: List[str]):

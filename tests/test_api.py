@@ -39,7 +39,9 @@ def server():
     eng = Engine(params, cfg, max_seqs=2, page_size=16,
                  max_pages_per_seq=8, prefill_buckets=(16, 32),
                  decode_chunk=2)
-    srv = ApiServer(eng, _encode, _decode, model_name="tiny-llama")
+    srv = ApiServer(eng, _encode, _decode, model_name="tiny-llama",
+                    chat_template=lambda msgs: " ".join(
+                        m.get("content", "") for m in msgs))
     srv.start()
     yield srv
     srv.close()
@@ -174,6 +176,49 @@ def test_stop_token_ids(server):
     # engine stops AT the stop token (not emitted)
     assert got == full[:1]
     assert out["choices"][0]["finish_reason"] == "stop"
+
+
+def test_chat_completion(server):
+    status, data = _post(server, "/v1/chat/completions",
+                         {"messages": [{"role": "user",
+                                        "content": "12 13 14"}],
+                          "max_tokens": 3})
+    assert status == 200
+    out = json.loads(data)
+    assert out["object"] == "chat.completion"
+    msg = out["choices"][0]["message"]
+    assert msg["role"] == "assistant"
+    assert len(_encode(msg["content"])) == 3
+    # the fixture template renders messages to just their content, so
+    # chat and plain completions over the same text must agree (greedy)
+    _, data2 = _post(server, "/v1/completions",
+                     {"prompt": "12 13 14", "max_tokens": 3})
+    assert json.loads(data2)["choices"][0]["text"].strip() == \
+        msg["content"].strip()
+
+
+def test_chat_streaming(server):
+    conn = http.client.HTTPConnection("127.0.0.1", server.port,
+                                      timeout=300)
+    conn.request("POST", "/v1/chat/completions",
+                 json.dumps({"messages": [{"role": "user",
+                                           "content": "7 8"}],
+                             "max_tokens": 3, "stream": True}),
+                 {"Content-Type": "application/json"})
+    resp = conn.getresponse()
+    assert resp.status == 200
+    raw = resp.read().decode()
+    conn.close()
+    events = [json.loads(ln[len("data: "):]) for ln in raw.splitlines()
+              if ln.startswith("data: ") and not ln.endswith("[DONE]")]
+    assert raw.rstrip().splitlines()[-1].endswith("[DONE]") or \
+        any("[DONE]" in ln for ln in raw.splitlines())
+    assert events[0]["object"] == "chat.completion.chunk"
+    assert events[0]["choices"][0]["delta"] == {"role": "assistant"}
+    content = "".join(e["choices"][0]["delta"].get("content", "")
+                      for e in events)
+    assert len(_encode(content)) == 3
+    assert events[-1]["choices"][0]["finish_reason"] == "length"
 
 
 def test_ops_endpoints(server):
