@@ -243,7 +243,8 @@ def cmd_serve(args) -> None:
         srv.serve_forever()
         return
     sampling = SamplingParams(temperature=args.temperature,
-                              top_k=args.top_k, top_p=args.top_p)
+                              top_k=args.top_k, top_p=args.top_p,
+                              min_p=args.min_p)
     reqs = [
         Request(req_id=i, prompt=tok(p)["input_ids"],
                 max_new_tokens=args.max_new_tokens, sampling=sampling,
@@ -391,6 +392,8 @@ def main(argv=None) -> None:
     s.add_argument("--temperature", type=float, default=0.0)
     s.add_argument("--top-k", type=int, default=0)
     s.add_argument("--top-p", type=float, default=1.0)
+    s.add_argument("--min-p", type=float, default=0.0,
+                   help="keep tokens with prob >= min_p * max prob")
     s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -344,7 +344,7 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
             for lp in (False, True):
                 decode_multi_fns[(m, ctl, lp)] = mk(
                     functools.partial(multi_body, mode=m, logprobs=lp),
-                    11 if ctl else 7, n_lead_outs=2 if lp else 1)
+                    12 if ctl else 7, n_lead_outs=2 if lp else 1)
 
     def prefill_hist(hist_len: int):
         """Chunked-prefill step specialized on the static history length."""

@@ -134,6 +134,7 @@ class ApiServer:
             temperature=float(body.get("temperature", 0.0)),
             top_k=int(body.get("top_k", 0)),
             top_p=float(body.get("top_p", 1.0)),
+            min_p=float(body.get("min_p", 0.0)),
             repetition_penalty=float(body.get("repetition_penalty", 1.0)),
             min_new_tokens=int(body.get("min_new_tokens", 0)))
         stop_ids = [int(x) for x in body.get("stop_token_ids", [])]
@@ -156,7 +157,8 @@ class ApiServer:
             self.requests_total += 1
         req = Request(
             req_id=rid, prompt=ids,
-            max_new_tokens=min(int(body.get("max_tokens", 16)), self.cap),
+            max_new_tokens=max(1, min(int(body.get("max_tokens", 16)),
+                                      self.cap)),
             sampling=sampling, eos_id=self.eos_id,
             stop_ids=stop_ids or None,
             logprobs=bool(body.get("logprobs", False)))

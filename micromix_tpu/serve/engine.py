@@ -59,8 +59,9 @@ class StepFns:
     decode_multi may be a dict keyed by sample mode ("simple"/"topk"/
     "full") or, fully, by (mode, controls, logprobs) tuples: controls=True
     marks the logit-controls variant (repetition_penalty /
-    min_new_tokens — takes presence_bits/penalties/ban_ids/min_remaining
-    as four extra trailing args), logprobs=True the variant that also
+    min_new_tokens / min_p — takes presence_bits/penalties/ban_ids/
+    min_remaining/minp_shift as five extra trailing args), logprobs=True
+    the variant that also
     returns chosen-token log-probabilities before the caches.  Plain
     mode keys serve only controls=False, logprobs=False requests.
     prefill_hist is a ``hist_len -> jitted fn`` factory enabling
@@ -360,12 +361,13 @@ class Engine:
             def run(lg, key_, step, t, k, tp, *ctl, m=mode):
                 x = lg
                 if ctl:
-                    pres_bits, pen, ban, mrem = ctl
+                    pres_bits, pen, ban, mrem, mps = ctl
                     v = lg.shape[1]
                     x = apply_logit_controls(
                         lg, unpack_presence(pres_bits, v), pen,
                         jnp.logical_and((mrem > 0)[:, None],
-                                        ban_mask(ban, v)))
+                                        ban_mask(ban, v)),
+                        minp_shift=mps)
                 toks = sample_batch(x, jax.random.fold_in(key_, step),
                                     t, k, tp, mode=m)
                 if not logprobs:
@@ -406,15 +408,16 @@ class Engine:
         return self._decode_multi_cache[key]
 
     def _controls_arrays(self, reqs: List[Optional[Request]]):
-        """(presence_bits, penalties, ban_ids, min_remaining) device arrays
-        for the logit-controls stage; row i covers reqs[i] (None =
-        neutral).
+        """(presence_bits, penalties, ban_ids, min_remaining, minp_shift)
+        device arrays for the logit-controls stage; row i covers reqs[i]
+        (None = neutral).
 
         presence ships BIT-PACKED (B, ceil(V/8)) u8 — 8x smaller on the
         ~35 ms/dispatch tunnel than a (B, V) bool — and is unpacked once
         in-graph.  ban_ids (B, W) lists every terminator (eos_id AND
         stop_ids) to suppress while min_new_tokens is unmet, padded with
         -1; W adapts to the widest row (one compiled variant per width).
+        minp_shift carries min-p as T*ln(min_p) per row (-inf = off).
         """
         b = len(reqs)
         v = self.cfg.vocab_size
@@ -441,8 +444,11 @@ class Engine:
         for i, ids in enumerate(bans):
             ban[i, :len(ids)] = ids
         packed = np.packbits(presence, axis=1, bitorder="little")
+        from .sampling import minp_shifts
+        mps = minp_shifts([r.sampling if r is not None else None
+                           for r in reqs])
         return (jnp.asarray(packed), jnp.asarray(pen), jnp.asarray(ban),
-                jnp.asarray(mrem))
+                jnp.asarray(mrem), jnp.asarray(mps))
 
     # ---------------- host-side page-table management ----------------
 
@@ -1071,6 +1077,7 @@ class Engine:
             req = self.slots[i].req
             sp = req.sampling
             if (sp.top_k and sp.top_k > 0) or sp.top_p < 1.0 \
+                    or sp.min_p > 0.0 \
                     or sp.repetition_penalty != 1.0 \
                     or sp.min_new_tokens > 0 or req.logprobs:
                 return False

@@ -229,11 +229,12 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
 
     ``controls`` (optional, its presence is a static program variant):
     (presence_bits (B, ceil(V/8)) u8 bit-packed, penalties (B,),
-    ban_ids (B, W) int32 -1-padded, min_remaining (B,)) — repetition
-    penalty over context tokens (presence unpacked once, then updated
-    in-scan as tokens are sampled) and terminator suppression (eos_id +
-    stop_ids) while fewer than min_remaining tokens have been emitted
-    this chunk.
+    ban_ids (B, W) int32 -1-padded, min_remaining (B,),
+    minp_shift (B,)) — repetition penalty over context tokens (presence
+    unpacked once, then updated in-scan as tokens are sampled),
+    terminator suppression (eos_id + stop_ids) while fewer than
+    min_remaining tokens have been emitted this chunk, and the min-p
+    filter as a log-space threshold offset (-inf = off).
 
     ``with_logprobs`` (static) additionally returns the chosen tokens'
     RAW model log-probabilities (log_softmax of the un-tempered,
@@ -271,7 +272,7 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
             return out[0], out[1], caches
         return out, caches
 
-    presence_bits, penalties, ban_ids, min_remaining = controls
+    presence_bits, penalties, ban_ids, min_remaining, mps = controls
     vocab = params["lm_head"].shape[0]
     presence0 = unpack_presence(presence_bits, vocab)
     banned = ban_mask(ban_ids, vocab)
@@ -280,7 +281,8 @@ def decode_multi(params: Params, cfg: ModelConfig, caches: Caches,
         caches, toks, pos, presence = carry
         logits, caches = step_fn(params, cfg, caches, toks, seq_ids, pos)
         suppress = jnp.logical_and((i < min_remaining)[:, None], banned)
-        lg = apply_logit_controls(logits, presence, penalties, suppress)
+        lg = apply_logit_controls(logits, presence, penalties, suppress,
+                                  minp_shift=mps)
         nxt = sample_batch(lg, jax.random.fold_in(key, i),
                            temps, top_k, top_p, mode=sample_mode)
         presence = presence.at[jnp.arange(b), nxt].set(True)

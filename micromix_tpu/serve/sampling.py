@@ -18,16 +18,38 @@ class SamplingParams:
     temperature: float = 0.0        # 0 -> greedy
     top_k: int = 0                  # 0 -> disabled
     top_p: float = 1.0              # 1 -> disabled
+    min_p: float = 0.0              # 0 -> disabled (keep p >= min_p*pmax)
     repetition_penalty: float = 1.0  # 1 -> disabled (HF rule)
     min_new_tokens: int = 0          # suppress eos until this many emitted
 
 
 def uses_logit_controls(sampling_params) -> bool:
     """True if any request needs the logit-controls stage (penalized /
-    eos-suppressed programs compile in only when actually requested)."""
+    eos-suppressed / min-p programs compile in only when actually
+    requested).  min_p rides this stage rather than the sampler modes:
+    on raw logits the filter p >= min_p*pmax is exactly
+    x >= xmax + T*ln(min_p) — a (B, V) compare, no sort, no softmax —
+    and T*ln(min_p) is a host-computed per-row constant."""
     return any(p is not None and (p.repetition_penalty != 1.0
-                                  or p.min_new_tokens > 0)
+                                  or p.min_new_tokens > 0
+                                  or p.min_p > 0.0)
                for p in sampling_params)
+
+
+def minp_shifts(params):
+    """Per-row log-space min-p threshold offsets for the controls stage.
+
+    Row value is T*ln(min_p) (<= 0): keep logits x >= xmax + shift.
+    -inf disables the filter; greedy rows (T<=0) use 0.0, which keeps
+    exactly the argmax — the greedy limit of the min-p rule.
+    """
+    import numpy as np
+    out = np.full((len(params),), -np.inf, np.float32)
+    for i, p in enumerate(params):
+        if p is not None and p.min_p > 0.0:
+            out[i] = (p.temperature * float(np.log(min(p.min_p, 1.0)))
+                      if p.temperature > 0.0 else 0.0)
+    return out
 
 
 def unpack_presence(packed: jnp.ndarray, v: int) -> jnp.ndarray:
@@ -47,20 +69,29 @@ def ban_mask(ban_ids: jnp.ndarray, v: int) -> jnp.ndarray:
 
 def apply_logit_controls(logits: jnp.ndarray, presence: jnp.ndarray,
                          penalties: jnp.ndarray,
-                         suppress: jnp.ndarray) -> jnp.ndarray:
+                         suppress: jnp.ndarray,
+                         minp_shift: Optional[jnp.ndarray] = None
+                         ) -> jnp.ndarray:
     """Pre-sampling logit transforms, one fused op over (B, V).
 
     presence (B, V) bool — tokens present in the row's context (prompt +
     generated); penalties (B,) — HF repetition-penalty rule on present
     tokens (positive logits divided, negative multiplied; 1.0 = no-op);
     suppress (B, V) bool — tokens forbidden this step (min_new_tokens
-    eos suppression).
+    eos suppression); minp_shift (B,) — min-p filter as a log-space
+    offset (keep x >= xmax + shift; -inf = off, see ``minp_shift``).
+    The min-p mask applies LAST, over the penalized/suppressed logits —
+    the distribution the row will actually sample from.
     """
     x = logits.astype(jnp.float32)
     p = penalties[:, None]
     pen = jnp.where(x > 0, x / p, x * p)
     x = jnp.where(jnp.logical_and(presence, p != 1.0), pen, x)
-    return jnp.where(suppress, -jnp.inf, x)
+    x = jnp.where(suppress, -jnp.inf, x)
+    if minp_shift is not None:
+        thresh = jnp.max(x, axis=-1, keepdims=True) + minp_shift[:, None]
+        x = jnp.where(x < thresh, -jnp.inf, x)
+    return x
 
 
 def sample(logits: jnp.ndarray, key: jax.Array,

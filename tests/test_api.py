@@ -82,6 +82,18 @@ def test_completion_roundtrip(server):
                             "total_tokens": 7}
 
 
+def test_minp_through_api(server):
+    """min_p=1.0 at temperature 1.0 keeps only the argmax, so the
+    result must equal the greedy completion of the same prompt."""
+    _, d1 = _post(server, "/v1/completions",
+                  {"prompt": "15 16", "max_tokens": 3,
+                   "temperature": 1.0, "min_p": 1.0})
+    _, d2 = _post(server, "/v1/completions",
+                  {"prompt": "15 16", "max_tokens": 3})
+    assert json.loads(d1)["choices"][0]["text"] == \
+        json.loads(d2)["choices"][0]["text"]
+
+
 def test_pretokenized_prompt_and_logprobs(server):
     status, data = _post(server, "/v1/completions",
                          {"prompt": [9, 10, 11], "max_tokens": 3,
