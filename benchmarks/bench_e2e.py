@@ -93,7 +93,7 @@ def main(argv=None) -> None:
                           0, cfg.vocab_size, 5 + i % 3)),
                       max_new_tokens=new_tok)
               for i in range(args.batch)]
-        e.prefill_tokens = e.decode_tokens = 0
+        e.prefill_tokens = e.decode_tokens = e.prefix_hit_tokens = 0
         t0 = time.perf_counter()
         e.run(rs)
         wall = time.perf_counter() - t0
