@@ -1,0 +1,101 @@
+"""Ablation probe: wall/step of the REAL 8B decode chunk with components
+stubbed out (untraced marginal attribution — the profiler's per-op
+instrumentation inflates tiny ops ~20x, docs/perf_notes.md r3 note).
+
+Usage: python benchmarks/probe_ablate.py [--no-append] [--no-attn]
+       [--no-sample] [--no-mlp]
+Prints one line: variant wall/chunk and ms/step.
+"""
+import sys, time, argparse, dataclasses
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/benchmarks")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--no-append", action="store_true")
+ap.add_argument("--no-attn", action="store_true")
+ap.add_argument("--no-sample", action="store_true")
+ap.add_argument("--no-mlp", action="store_true")
+ap.add_argument("--chunk", type=int, default=16)
+args = ap.parse_args()
+
+from micromix_tpu.serve import runner as R
+from micromix_tpu.serve import sampling as S
+
+if args.no_append:
+    R.append_kv = lambda cache, sids, pos, k, v: cache
+if args.no_attn:
+    def _fake_attn(q, cache, sids, **kw):
+        return q * 0.125
+    R.paged_decode_attention = _fake_attn
+if args.no_sample:
+    _orig = S.sample_batch
+    S.sample_batch = lambda lg, key, t, k, p, mode="full": (
+        jnp.argmax(lg[:, :8], axis=-1).astype(jnp.int32))
+if args.no_mlp:
+    R._mlp = lambda h, p, cfg: h * jnp.bfloat16(0.5)
+
+from bench_8b_decode import build_quantized
+from micromix_tpu.models import ModelConfig
+from micromix_tpu.serve.kv_cache import make_cache
+from micromix_tpu.serve.runner import decode_multi
+
+cfg = ModelConfig(arch="llama", vocab_size=32000, hidden_size=4096,
+                  intermediate_size=14336, num_layers=32,
+                  num_heads=32, num_kv_heads=8, head_dim=128,
+                  rope_theta=5e5, rms_eps=1e-5)
+B, CHUNK = 8, args.chunk
+params = build_quantized(cfg, 256, 256, share_layers=True)
+
+n_pages = B * 16 + 1
+caches = []
+pt = np.zeros((B + 1, 16), np.int32)
+pid = 1
+for i in range(B):
+    for j in range(16):
+        pt[i, j] = pid
+        pid += 1
+lengths = np.full((B + 1,), 128, np.int32)
+for _ in range(cfg.num_layers):
+    c = make_cache(n_pages + B * 16, 128, cfg.num_kv_heads, cfg.head_dim,
+                   B + 1, 16, bits=4)
+    c = dataclasses.replace(c, page_table=jnp.asarray(pt),
+                            lengths=jnp.asarray(lengths))
+    caches.append(c)
+
+tokens = jnp.zeros((B,), jnp.int32)
+seq_ids = jnp.arange(B, dtype=jnp.int32)
+positions = jnp.asarray(lengths[:B])
+key = jax.random.PRNGKey(0)
+temps = jnp.zeros((B,), jnp.float32)
+tk = jnp.zeros((B,), jnp.int32)
+tp = jnp.ones((B,), jnp.float32)
+
+
+def run(p, c, t, sid, pos, k):
+    return decode_multi(p, cfg, c, t, sid, pos, k, temps, tk, tp, None,
+                        n_steps=CHUNK, sample_mode="simple")
+
+
+jf = jax.jit(run)
+t0 = time.perf_counter()
+out, _ = jf(params, caches, tokens, seq_ids, positions, key)
+np.asarray(out)  # block_until_ready can return early on axon — force fetch
+print(f"compile+run {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+best = float("inf")
+for r in range(6):
+    t0 = time.perf_counter()
+    out2, _ = jf(params, caches, tokens, seq_ids, positions,
+                 jax.random.fold_in(key, r))
+    np.asarray(out2)
+    best = min(best, time.perf_counter() - t0)
+tag = "".join(s for s, on in (
+    ("-append", args.no_append), ("-attn", args.no_attn),
+    ("-sample", args.no_sample), ("-mlp", args.no_mlp)) if on) or "full"
+print(f"variant={tag} wall/chunk={best*1e3:.2f} ms  "
+      f"({best*1e3/CHUNK:.2f} ms/step)")

@@ -109,7 +109,8 @@ class Engine:
                  draft_params=None, draft_cfg: Optional[ModelConfig] = None,
                  spec_gamma: int = 4, spec_rounds: Optional[int] = None,
                  spec_ngram: int = 0, spec_window: int = 256,
-                 piggyback: bool = True, prefix_cache: bool = False):
+                 piggyback: bool = True, prefix_cache: bool = False,
+                 pipeline: bool = True):
         self.params = params
         self.cfg = cfg
         self.max_seqs = max_seqs
@@ -181,10 +182,12 @@ class Engine:
         if step_fns is None:
             self._prefill = jax.jit(
                 lambda p, c, t, sid, sp, li: prefill(p, cfg, c, t, sid, sp,
-                                                     li))
+                                                     li),
+                donate_argnums=(1,))
             self._decode = jax.jit(
                 lambda p, c, t, sid, pos: decode_step(p, cfg, c, t, sid,
-                                                      pos))
+                                                      pos),
+                donate_argnums=(1,))
         # samplers and chunked-decode programs are specialized per sample
         # MODE (greedy/temp | top-k | full nucleus): the full path sorts the
         # whole vocab (~100 ms at V=32k) and must only compile in when a
@@ -199,24 +202,24 @@ class Engine:
                 dataclasses.replace(
                     c, page_table=c.page_table.at[slot].set(row))
                 for c in cs
-            ])
+            ], donate_argnums=(0,))
         self._set_len = jax.jit(
             lambda cs, slot, n: [
                 dataclasses.replace(c, lengths=c.lengths.at[slot].set(n))
                 for c in cs
-            ])
+            ], donate_argnums=(0,))
         self._set_row_len = jax.jit(
             lambda cs, slot, row, n: [
                 dataclasses.replace(
                     c, page_table=c.page_table.at[slot].set(row),
                     lengths=c.lengths.at[slot].set(n))
                 for c in cs
-            ])
+            ], donate_argnums=(0,))
         self._set_len_many = jax.jit(
             lambda cs, slots, ns: [
                 dataclasses.replace(c, lengths=c.lengths.at[slots].set(ns))
                 for c in cs
-            ])
+            ], donate_argnums=(0,))
         # prefill/decode piggybacking: under mixed load, fold ONE pending
         # slot's prefill chunk (+ its length fixup and first-token sample)
         # into the decode dispatch — 3 dispatches -> 1 on the tunnel.
@@ -236,7 +239,7 @@ class Engine:
                     page_table=c.page_table.at[slot].set(
                         jnp.zeros((c.max_pages_per_seq,), jnp.int32)))
                 for c in cs
-            ])
+            ], donate_argnums=(0,))
         # --- speculative decoding (serve/speculative.py) ---
         # a draft model turns the decode phase into draft-propose /
         # target-verify rounds; spec mode constrains prefill to the
@@ -287,7 +290,8 @@ class Engine:
                     lambda tp, tc, st, sid, key, temps:
                     plookup_decode_multi(tp, tcfg, tc, st, sid, key,
                                          temps, gamma=gamma, ngram=ng,
-                                         n_rounds=rounds))
+                                         n_rounds=rounds),
+                    donate_argnums=(1,))
         if draft_params is not None:
             if step_fns is not None and step_fns.spec_multi is None:
                 raise ValueError("speculative decoding with custom step_fns "
@@ -325,7 +329,28 @@ class Engine:
                     lambda tp, dp, tc, dc, st, sid, key, temps:
                     spec_decode_multi(tp, dp, tcfg, dcfg, tc, dc, st, sid,
                                       key, temps, gamma=gamma,
-                                      n_rounds=rounds))
+                                      n_rounds=rounds),
+                    donate_argnums=(2, 3))
+        # --- async decode pipelining ---
+        # In steady-state decode the next chunk's ONLY data dependency on
+        # the previous one is the last sampled token per slot — which the
+        # decode program already holds ON DEVICE.  So chunk k+1 is
+        # dispatched feeding chunk k's in-graph `last` output (no host
+        # round-trip), and chunk k's tokens are fetched/processed while
+        # k+1 executes.  On the axon tunnel this hides the ~77 ms/chunk
+        # dispatch+fetch sync (the gap between in-graph 18.5 ms/step and
+        # engine 23.9 ms/step at 8B shapes — docs/perf_notes.md); on a
+        # local chip it removes the device idle gap between chunks.
+        # Safety: slots that finish (eos/max_new) during an in-flight
+        # chunk decode one zombie chunk into pages they still own at
+        # dispatch time; all later page reuse happens via dispatches
+        # ordered AFTER the zombie on the single device stream, so the
+        # waste is bounded (≤ one chunk) and never corrupts.  Any
+        # scheduling event (admission, prefill, controls, cancel, page
+        # stall) drains the in-flight chunk and takes the normal path.
+        self._pipeline_ok = (pipeline and step_fns is None
+                             and not self._spec_on and not prefix_cache)
+        self._inflight: Optional[Dict[str, Any]] = None
         # stats
         self.prefill_tokens = 0
         self.decode_tokens = 0
@@ -398,13 +423,23 @@ class Engine:
 
             def run(p, c, t, sid, pos, key_, step, tt, kk, tp, *ctl,
                     m=mode):
-                return decode_multi(
+                out = decode_multi(
                     p, cfg, c, t, sid, pos,
                     jax.random.fold_in(key_, step), tt, kk, tp,
                     ctl if ctl else None,
                     n_steps=self.decode_chunk, sample_mode=m,
                     with_logprobs=logprobs)
-            self._decode_multi_cache[key] = jax.jit(run)
+                # also return the last step's tokens as a separate output:
+                # the pipelined path feeds them straight into the next
+                # chunk's dispatch as a device array (an eager toks[-1]
+                # slice would cost its own tunnel RPC)
+                if logprobs:
+                    toks, lps, caches = out
+                    return toks, toks[-1], lps, caches
+                toks, caches = out
+                return toks, toks[-1], caches
+            self._decode_multi_cache[key] = jax.jit(run,
+                                                    donate_argnums=(1,))
         return self._decode_multi_cache[key]
 
     def _controls_arrays(self, reqs: List[Optional[Request]]):
@@ -563,7 +598,8 @@ class Engine:
                 cfg = self.cfg
                 self._prefill_cache[key] = jax.jit(
                     lambda p, c, t, sid, sp, li, h=key: prefill(
-                        p, cfg, c, t, sid, sp, li, hist_len=h))
+                        p, cfg, c, t, sid, sp, li, hist_len=h),
+                    donate_argnums=(1,))
         return self._prefill_cache[key]
 
     def _piggyback_for(self, hist_key: int, mode: str):
@@ -578,7 +614,7 @@ class Engine:
                     p, cfg, c, pt, psid, psp, pli, ptl, ptemp, pk, pp,
                     dt, dsid, dpos, jax.random.fold_in(key_, step),
                     tt, kk, tp, hist_len=h, n_steps=n_steps,
-                    sample_mode=m))
+                    sample_mode=m), donate_argnums=(1,))
         return self._piggyback_cache[key]
 
     def _pick_piggy(self, handled: set) -> Optional[int]:
@@ -662,7 +698,8 @@ class Engine:
                 spec_prefill_decode(tp, dp, tcfg, dcfg, tc, dc, pt, psid,
                                     psp, pli, ptl, ptemp, pk, pp, st, sid,
                                     key, temps, hist_len=h, gamma=gamma,
-                                    n_rounds=rounds, sample_mode=m))
+                                    n_rounds=rounds, sample_mode=m),
+                donate_argnums=(2, 3))
         return self._spec_piggy_cache[(hist_key, mode)]
 
     def _plookup_piggy_for(self, hist_key: int, mode: str):
@@ -681,7 +718,8 @@ class Engine:
                                        ptl, ptemp, pk, pp, st, sid, key,
                                        temps, hist_len=h, gamma=gamma,
                                        ngram=ng, n_rounds=rounds,
-                                       sample_mode=m))
+                                       sample_mode=m),
+                    donate_argnums=(1,))
         return self._spec_piggy_cache[(hist_key, mode)]
 
     def _plookup_state(self, seq_ids, positions):
@@ -711,7 +749,8 @@ class Engine:
             dcfg = self.draft_cfg
             self._draft_prefill_cache[key] = jax.jit(
                 lambda p, c, t, sid, sp, li, h=key: prefill(
-                    p, dcfg, c, t, sid, sp, li, hist_len=h))
+                    p, dcfg, c, t, sid, sp, li, hist_len=h),
+                donate_argnums=(1,))
         return self._draft_prefill_cache[key]
 
     def _draft_prefill_batch_for(self, bucket: int):
@@ -719,7 +758,8 @@ class Engine:
             dcfg = self.draft_cfg
             self._draft_prefill_batch_cache[bucket] = jax.jit(
                 lambda p, c, t, sid, li: prefill_batch(p, dcfg, c, t,
-                                                       sid, li))
+                                                       sid, li),
+                donate_argnums=(1,))
         return self._draft_prefill_batch_cache[bucket]
 
     def _prefill_batch_for(self, bucket: int):
@@ -731,7 +771,8 @@ class Engine:
                 cfg = self.cfg
                 self._prefill_batch_cache[bucket] = jax.jit(
                     lambda p, c, t, sid, li: prefill_batch(p, cfg, c, t,
-                                                           sid, li))
+                                                           sid, li),
+                    donate_argnums=(1,))
         return self._prefill_batch_cache[bucket]
 
     def _prefill_batch_pass(self) -> set:
@@ -917,9 +958,110 @@ class Engine:
                 return True
         return False
 
+    def _apply_chunk(self, toks: np.ndarray, lps, active, reqs) -> None:
+        """Emit one fetched decode chunk.  ``reqs`` (slot→Request at
+        dispatch time) guards against slots recycled since dispatch
+        (finished or cancelled mid-flight): their rows are dropped."""
+        for j in range(toks.shape[0]):
+            for i in active:
+                s = self.slots[i]
+                if not s.ready or (reqs is not None
+                                   and s.req is not reqs[i]):
+                    continue
+                s.pos += 1
+                self.decode_tokens += 1
+                self.ttft.setdefault(
+                    s.req.req_id,
+                    time.time() - self._t_submit[s.req.req_id])
+                self._emit(i, int(toks[j, i]),
+                           float(lps[j, i]) if lps is not None else None)
+
+    def _process_inflight(self, rec: Dict[str, Any]) -> None:
+        with self._phase("decode"):
+            toks = np.asarray(rec["toks"])
+        self._apply_chunk(toks, None, rec["active"], rec["reqs"])
+
+    def _try_pipeline(self) -> bool:
+        """Steady-state continuation: dispatch the next decode chunk from
+        the in-flight chunk's DEVICE-side last tokens, then process the
+        in-flight results while the new chunk executes.
+
+        Returns False (caller drains and takes the normal path) on any
+        scheduling event: queued arrivals, pending prefill, a changed
+        active set or request identity (cancel), a sampler-program change,
+        or page-pool pressure (the normal path owns preemption).
+        """
+        rec = self._inflight
+        if rec is None or not self._pipeline_ok:
+            return False
+        # (queued arrivals don't block pipelining: _admit already ran, so a
+        # non-empty waiting list means every slot is full — a finish is
+        # noticed at processing time and drains via the active-set check)
+        from .sampling import uses_logit_controls
+        for s in self.slots:
+            if s.req is not None and s.pending:
+                return False
+        live = []
+        for i in rec["active"]:
+            s = self.slots[i]
+            if s.req is None or s.req is not rec["reqs"][i]:
+                return False
+            live.append(s.req)
+        if [i for i, s in enumerate(self.slots) if s.ready] != rec["active"]:
+            return False
+        if uses_logit_controls([r.sampling for r in live]) \
+                or any(r.logprobs for r in live):
+            return False
+        if pick_sample_mode([r.sampling for r in live]) != rec["mode"]:
+            return False
+        chunk = self.decode_chunk
+        # slots that deterministically exhaust max_new_tokens during the
+        # in-flight chunk would be pure zombies next chunk: point them at
+        # the scratch row (eos finishes are unpredictable and cost one
+        # zombie chunk before the active-set check drains)
+        live_ids = [i for i in rec["active"]
+                    if len(rec["reqs"][i].output) + chunk
+                    < rec["reqs"][i].max_new_tokens]
+        if not live_ids:
+            return False
+        positions = rec["positions"].copy()
+        positions[live_ids] = positions[live_ids] + chunk
+        for i in live_ids:
+            try:
+                self._ensure_pages(i, int(positions[i]) + chunk + 1)
+            except RuntimeError:
+                return False
+        if live_ids != rec["active"]:
+            sid = np.full((self.max_seqs,), self.max_seqs, np.int32)
+            for i in live_ids:
+                sid[i] = i
+            sid_dev = jnp.asarray(sid)
+        else:
+            sid_dev = rec["seq_ids"]
+        t, k, p = rec["tkp"]
+        self._sample_step += 1
+        with self._phase("decode"):
+            toks_dev, last_dev, self.caches = self._decode_multi_for(
+                rec["mode"])(
+                self.params, self.caches, rec["last"], sid_dev,
+                jnp.asarray(positions), self._base_key,
+                jnp.int32(self._sample_step), jnp.asarray(t),
+                jnp.asarray(k), jnp.asarray(p))
+        nxt = dict(rec, toks=toks_dev, last=last_dev, positions=positions,
+                   active=live_ids, seq_ids=sid_dev,
+                   reqs={i: rec["reqs"][i] for i in live_ids})
+        self._inflight = nxt
+        self._process_inflight(rec)
+        return True
+
     def step(self) -> bool:
         """Admit, drive pending prefill chunks, one decode chunk."""
         self._admit()
+        if self._inflight is not None:
+            if self._try_pipeline():
+                return True
+            rec, self._inflight = self._inflight, None
+            self._process_inflight(rec)
         with self._phase("prefill"):
             handled = (self._prefill_batch_pass()
                        if self._can_batch_prefill else set())
@@ -1040,31 +1182,38 @@ class Engine:
                    if uses_logit_controls([r.sampling for r in live
                                            if r is not None]) else ())
             need_lp = any(r is not None and r.logprobs for r in live)
+            sid_dev = jnp.asarray(seq_ids)
             with self._phase("decode"):
                 out = self._decode_multi_for(mode, bool(ctl), need_lp)(
                     self.params, self.caches, jnp.asarray(tokens),
-                    jnp.asarray(seq_ids), jnp.asarray(positions),
+                    sid_dev, jnp.asarray(positions),
                     self._base_key,
                     jnp.int32(self._sample_step), jnp.asarray(t),
                     jnp.asarray(k), jnp.asarray(p), *ctl)
-                if need_lp:
-                    toks_dev, lps_dev, self.caches = out
+                if self._custom_decode_multi is not None:
+                    last_dev = None
+                    if need_lp:
+                        toks_dev, lps_dev, self.caches = out
+                        lps = np.asarray(lps_dev)        # (chunk, B)
+                    else:
+                        toks_dev, self.caches = out
+                elif need_lp:
+                    toks_dev, last_dev, lps_dev, self.caches = out
                     lps = np.asarray(lps_dev)            # (chunk, B)
                 else:
-                    toks_dev, self.caches = out
+                    toks_dev, last_dev, self.caches = out
+                if (self._pipeline_ok and last_dev is not None
+                        and not ctl and not need_lp):
+                    # defer the fetch: the next step() overlaps it with
+                    # the following chunk's device execution
+                    self._inflight = dict(
+                        toks=toks_dev, last=last_dev, active=list(active),
+                        reqs={i: self.slots[i].req for i in active},
+                        seq_ids=sid_dev, positions=positions.copy(),
+                        tkp=(t, k, p), mode=mode)
+                    return True
                 toks = np.asarray(toks_dev)              # (chunk, B)
-        for j in range(toks.shape[0]):
-            for i in active:
-                s = self.slots[i]
-                if not s.ready:
-                    continue
-                s.pos += 1
-                self.decode_tokens += 1
-                self.ttft.setdefault(
-                    s.req.req_id,
-                    time.time() - self._t_submit[s.req.req_id])
-                self._emit(i, int(toks[j, i]),
-                           float(lps[j, i]) if lps is not None else None)
+        self._apply_chunk(toks, lps, active, None)
         return True
 
     # ---------------- speculative decode phase ----------------

@@ -84,10 +84,17 @@ def make_cache(n_pages: int, page_size: int, n_kv: int, head_dim: int,
     assert bits in (4, 8, 16), bits
     dq = head_dim // 2 if bits == 4 else head_dim
     dt = jnp.bfloat16 if bits == 16 else jnp.uint8
-    z8 = jnp.zeros((n_pages, n_kv, dq, page_size), dt)
-    zs = jnp.zeros((n_pages, n_kv, 2, page_size), jnp.bfloat16)
+
+    # distinct buffers per field: the engine donates cache args to its
+    # jitted steps, and donating one buffer twice is an error
+    def z8():
+        return jnp.zeros((n_pages, n_kv, dq, page_size), dt)
+
+    def zs():
+        return jnp.zeros((n_pages, n_kv, 2, page_size), jnp.bfloat16)
+
     return PagedKVCache(
-        k_codes=z8, v_codes=z8, k_sz=zs, v_sz=zs,
+        k_codes=z8(), v_codes=z8(), k_sz=zs(), v_sz=zs(),
         page_table=jnp.zeros((max_seqs, max_pages_per_seq), jnp.int32),
         lengths=jnp.zeros((max_seqs,), jnp.int32), bits=bits)
 
@@ -141,6 +148,18 @@ def _flat_slot_index(cache: PagedKVCache, seq_ids: jnp.ndarray,
     return page_id, offset
 
 
+# Above this many tokens, append via one gather-scatter; at or below it,
+# via an unrolled dynamic-update-slice chain per token.  The DUS form is
+# the one that matters in the decode scan (T = batch): XLA aliases DUS
+# chains in place, whereas the scatter (i) picks a transposed loop layout
+# for the code buffers — the compiled 8B decode program converted every
+# cache buffer {3,2,1,0}->{2,1,3,0} at entry/exit, 2.2 GB per dispatch —
+# and (ii) forces one full-buffer aliasing copy per scan step (~1 GB/step
+# at 8B scale, measured in the dumped TPU HLO).  Prefill-sized appends
+# keep the scatter: thousands of sequential DUS ops would serialize.
+_APPEND_DUS_MAX_T = 32
+
+
 def append_kv(cache: PagedKVCache, seq_ids: jnp.ndarray, positions: jnp.ndarray,
               k: jnp.ndarray, v: jnp.ndarray) -> PagedKVCache:
     """Write T new tokens.  seq_ids/positions (T,), k/v (T, Hkv, D).
@@ -153,16 +172,34 @@ def append_kv(cache: PagedKVCache, seq_ids: jnp.ndarray, positions: jnp.ndarray,
     kq, ks, kz = kv_quantize(k, cache.bits)   # (T, Hkv, dq), (T, Hkv)
     vq, vs, vz = kv_quantize(v, cache.bits)
     page_id, off = _flat_slot_index(cache, seq_ids, positions)
-    # scatter one lane column per token: index pattern (page, :, :, off)
-    new = dataclasses.replace(
-        cache,
-        k_codes=cache.k_codes.at[page_id, :, :, off].set(kq),
-        v_codes=cache.v_codes.at[page_id, :, :, off].set(vq),
-        k_sz=cache.k_sz.at[page_id, :, :, off].set(
-            jnp.stack([ks, kz], axis=-1)),
-        v_sz=cache.v_sz.at[page_id, :, :, off].set(
-            jnp.stack([vs, vz], axis=-1)),
-    )
+    ksz = jnp.stack([ks, kz], axis=-1)        # (T, Hkv, 2)
+    vsz = jnp.stack([vs, vz], axis=-1)
+    t = kq.shape[0]
+    if t <= _APPEND_DUS_MAX_T:
+        kc, vc, ksb, vsb = (cache.k_codes, cache.v_codes,
+                            cache.k_sz, cache.v_sz)
+        z = jnp.int32(0)
+        for i in range(t):
+            p, o = page_id[i], off[i]
+            kc = jax.lax.dynamic_update_slice(
+                kc, kq[i][None, :, :, None], (p, z, z, o))
+            vc = jax.lax.dynamic_update_slice(
+                vc, vq[i][None, :, :, None], (p, z, z, o))
+            ksb = jax.lax.dynamic_update_slice(
+                ksb, ksz[i][None, :, :, None], (p, z, z, o))
+            vsb = jax.lax.dynamic_update_slice(
+                vsb, vsz[i][None, :, :, None], (p, z, z, o))
+        new = dataclasses.replace(cache, k_codes=kc, v_codes=vc,
+                                  k_sz=ksb, v_sz=vsb)
+    else:
+        # scatter one lane column per token: index pattern (page, :, :, off)
+        new = dataclasses.replace(
+            cache,
+            k_codes=cache.k_codes.at[page_id, :, :, off].set(kq),
+            v_codes=cache.v_codes.at[page_id, :, :, off].set(vq),
+            k_sz=cache.k_sz.at[page_id, :, :, off].set(ksz),
+            v_sz=cache.v_sz.at[page_id, :, :, off].set(vsz),
+        )
     lengths = cache.lengths.at[seq_ids].max(positions + 1)
     return dataclasses.replace(new, lengths=lengths)
 

@@ -602,3 +602,84 @@ def test_engine_min_new_tokens_suppresses_stop_ids(rng):
            prefill_buckets=(16,), decode_chunk=2).run([r])
     assert len(r.output) >= 4
     assert stop not in r.output[:3]
+
+
+def _run_engine(params, cfg, reqs, *, pipeline, seed=3, **kw):
+    eng = Engine(params, cfg, max_seqs=4, page_size=16, max_pages_per_seq=8,
+                 prefill_buckets=(16, 32), decode_chunk=4, seed=seed,
+                 pipeline=pipeline, **kw)
+    eng.run(reqs)
+    return eng
+
+
+def test_pipelined_decode_streams_identical(rng):
+    """Async decode pipelining must be a pure latency optimization: token
+    streams (greedy AND sampled), logprob-free, with staggered
+    max_new_tokens and an eos mid-stream, are bit-identical to the
+    unpipelined engine."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=70)
+    prompts = [list(rng.integers(0, cfg.vocab_size, 5 + i)) for i in range(4)]
+
+    def mk():
+        return [
+            Request(req_id=0, prompt=list(prompts[0]), max_new_tokens=13),
+            Request(req_id=1, prompt=list(prompts[1]), max_new_tokens=7,
+                    sampling=SamplingParams(temperature=0.8)),
+            Request(req_id=2, prompt=list(prompts[2]), max_new_tokens=17,
+                    eos_id=5),
+            Request(req_id=3, prompt=list(prompts[3]), max_new_tokens=9,
+                    sampling=SamplingParams(temperature=1.2)),
+        ]
+
+    a = mk()
+    b = mk()
+    ea = _run_engine(params, cfg, a, pipeline=True)
+    _run_engine(params, cfg, b, pipeline=False)
+    assert ea._inflight is None
+    for ra, rb in zip(a, b):
+        assert ra.output == rb.output, (ra.req_id, ra.output, rb.output)
+
+
+def test_pipelined_decode_with_queue_churn(rng):
+    """More requests than slots: finishes drain the pipeline, admissions
+    restart it; streams still match the unpipelined engine."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=71)
+    prompts = [list(rng.integers(0, cfg.vocab_size, 4 + i % 5))
+               for i in range(10)]
+
+    def mk():
+        return [Request(req_id=i, prompt=list(p),
+                        max_new_tokens=5 + (i % 3) * 4)
+                for i, p in enumerate(prompts)]
+
+    a, b = mk(), mk()
+    _run_engine(params, cfg, a, pipeline=True)
+    _run_engine(params, cfg, b, pipeline=False)
+    for ra, rb in zip(a, b):
+        assert ra.output == rb.output, (ra.req_id, ra.output, rb.output)
+
+
+def test_pipelined_decode_cancel_midflight(rng):
+    """Cancelling while a chunk is in flight must drop that request's
+    pending rows (no cross-request emission, no crash)."""
+    cfg = _cfg()
+    params = random_dense_params(cfg, seed=72)
+    reqs = [Request(req_id=i,
+                    prompt=list(rng.integers(0, cfg.vocab_size, 6)),
+                    max_new_tokens=20) for i in range(2)]
+    eng = Engine(params, cfg, max_seqs=2, page_size=16, max_pages_per_seq=8,
+                 prefill_buckets=(16,), decode_chunk=4, pipeline=True)
+    for r in reqs:
+        eng.submit(r)
+    steps = 0
+    while eng.step():
+        steps += 1
+        if eng._inflight is not None and not reqs[0].done:
+            assert eng.cancel(0)
+        assert steps < 100
+    assert reqs[0].done and reqs[1].done
+    assert len(reqs[1].output) == 20
+    # cancelled request stopped early
+    assert len(reqs[0].output) < 20
