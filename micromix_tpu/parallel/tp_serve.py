@@ -231,7 +231,7 @@ def tp_decode_step(params: Params, cfg_l: ModelConfig, caches, tokens,
         # q rope fused into the decode kernel; k rotated before append
         kr = _rope1(k[:, 0], cos, sin)[:, None]
         cache = append_kv(next(cache_it), seq_ids, positions,
-                          kr[:, 0], v[:, 0])
+                          kr[:, 0], v[:, 0], distinct_pages=True)
         new_caches.append(cache)
         out = paged_decode_attention(q[:, 0], cache, seq_ids,
                                      sliding_window=cfg_l.sliding_window,

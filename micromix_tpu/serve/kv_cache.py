@@ -161,13 +161,20 @@ _APPEND_DUS_MAX_T = 32
 
 
 def append_kv(cache: PagedKVCache, seq_ids: jnp.ndarray, positions: jnp.ndarray,
-              k: jnp.ndarray, v: jnp.ndarray) -> PagedKVCache:
+              k: jnp.ndarray, v: jnp.ndarray, *,
+              distinct_pages: bool = False) -> PagedKVCache:
     """Write T new tokens.  seq_ids/positions (T,), k/v (T, Hkv, D).
 
     Covers both prefill append and single-token decode append
     (page.cuh:120-293 AppendPagedKVCache{Prefill,Decode}).  The page table
     rows for these positions must already be populated (engine allocates
     pages host-side).  Updates lengths to positions+1 max per sequence.
+
+    ``distinct_pages``: promise that tokens land on pairwise-distinct
+    pages (up to scratch-page don't-cares) — true for decode steps, where
+    each active slot appends one token into its own page.  Routes to the
+    aliased Pallas append kernel on TPU (serve/append_kernel.py), which
+    the decode scan needs to stay copy-free and op-lean.
     """
     kq, ks, kz = kv_quantize(k, cache.bits)   # (T, Hkv, dq), (T, Hkv)
     vq, vs, vz = kv_quantize(v, cache.bits)
@@ -175,6 +182,17 @@ def append_kv(cache: PagedKVCache, seq_ids: jnp.ndarray, positions: jnp.ndarray,
     ksz = jnp.stack([ks, kz], axis=-1)        # (T, Hkv, 2)
     vsz = jnp.stack([vs, vz], axis=-1)
     t = kq.shape[0]
+    lengths = cache.lengths.at[seq_ids].max(positions + 1)
+    from .append_kernel import APPEND_KERNEL_MAX_T, append_kv_kernel
+    if distinct_pages and t <= APPEND_KERNEL_MAX_T \
+            and jax.default_backend() != "cpu":
+        # one aliased Pallas call (4T column DMAs): no scan-carry copies,
+        # no layout preference, no per-token op chain (perf_notes r3)
+        kc, vc, ksb, vsb = append_kv_kernel(
+            cache.k_codes, cache.v_codes, cache.k_sz, cache.v_sz,
+            page_id, off, kq, vq, ksz, vsz)
+        return dataclasses.replace(cache, k_codes=kc, v_codes=vc,
+                                   k_sz=ksb, v_sz=vsb, lengths=lengths)
     if t <= _APPEND_DUS_MAX_T:
         kc, vc, ksb, vsb = (cache.k_codes, cache.v_codes,
                             cache.k_sz, cache.v_sz)
@@ -200,7 +218,6 @@ def append_kv(cache: PagedKVCache, seq_ids: jnp.ndarray, positions: jnp.ndarray,
             k_sz=cache.k_sz.at[page_id, :, :, off].set(ksz),
             v_sz=cache.v_sz.at[page_id, :, :, off].set(vsz),
         )
-    lengths = cache.lengths.at[seq_ids].max(positions + 1)
     return dataclasses.replace(new, lengths=lengths)
 
 

@@ -196,7 +196,8 @@ def decode_step(params: Params, cfg: ModelConfig, caches: Caches,
         # FUSED into the decode kernel (decode.cuh:40-104 parity) — and
         # skips the bf16 round the unfused path paid between rope and dot
         k = _rope1(k[:, 0], cos, sin)[:, None]
-        cache = append_kv(cache, seq_ids, positions, k[:, 0], v[:, 0])
+        cache = append_kv(cache, seq_ids, positions, k[:, 0], v[:, 0],
+                          distinct_pages=True)
         new_caches.append(cache)
         out = paged_decode_attention(q[:, 0], cache, seq_ids,
                                      sliding_window=cfg.sliding_window,

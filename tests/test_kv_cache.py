@@ -166,3 +166,44 @@ def test_pallas_decode_attention_fused_rope(rng):
     np.testing.assert_allclose(np.asarray(fused, np.float32),
                                np.asarray(unfused, np.float32),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_append_kernel_parity(rng):
+    """The Pallas append kernel (serve/append_kernel.py) must write
+    byte-identical cache contents to the XLA DUS/scatter path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from micromix_tpu.serve.append_kernel import append_kv_kernel
+    from micromix_tpu.serve.kv_cache import (_flat_slot_index, kv_quantize,
+                                             make_cache)
+
+    for bits in (4, 8, 16):
+        cache = make_cache(9, 16, 2, 64, 3, 4, bits=bits)
+        pt = np.zeros((3, 4), np.int32)
+        pt[0] = [1, 2, 3, 4]
+        pt[1] = [5, 6, 7, 8]
+        cache = dataclasses.replace(cache, page_table=jnp.asarray(pt))
+        # pairwise-distinct target pages (1, 5, 2, 6, 3, 7): the kernel's
+        # contract for decode-step appends
+        t = 6
+        seq_ids = jnp.asarray([0, 1, 0, 1, 0, 1], jnp.int32)
+        positions = jnp.asarray([0, 0, 17, 17, 39, 39], jnp.int32)
+        k = jnp.asarray(rng.normal(0, 1, (t, 2, 64)), jnp.bfloat16)
+        v = jnp.asarray(rng.normal(0, 1, (t, 2, 64)), jnp.bfloat16)
+        kq, ks, kz = kv_quantize(k, bits)
+        vq, vs, vz = kv_quantize(v, bits)
+        ksz = jnp.stack([ks, kz], axis=-1)
+        vsz = jnp.stack([vs, vz], axis=-1)
+        page_id, off = _flat_slot_index(cache, seq_ids, positions)
+
+        got = append_kv_kernel(cache.k_codes, cache.v_codes, cache.k_sz,
+                               cache.v_sz, page_id, off, kq, vq, ksz, vsz,
+                               interpret=True)
+        want = (cache.k_codes.at[page_id, :, :, off].set(kq),
+                cache.v_codes.at[page_id, :, :, off].set(vq),
+                cache.k_sz.at[page_id, :, :, off].set(ksz),
+                cache.v_sz.at[page_id, :, :, off].set(vsz))
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
