@@ -21,6 +21,10 @@ ap.add_argument("--no-append", action="store_true")
 ap.add_argument("--no-attn", action="store_true")
 ap.add_argument("--no-sample", action="store_true")
 ap.add_argument("--no-mlp", action="store_true")
+ap.add_argument("--no-quant", action="store_true",
+                help="skip activation fakequant (identity bf16 cast)")
+ap.add_argument("--no-norm", action="store_true",
+                help="skip the rmsnorm inside the quantize sites too")
 ap.add_argument("--chunk", type=int, default=16)
 args = ap.parse_args()
 
@@ -39,6 +43,16 @@ if args.no_sample:
         jnp.argmax(lg[:, :8], axis=-1).astype(jnp.int32))
 if args.no_mlp:
     R._mlp = lambda h, p, cfg: h * jnp.bfloat16(0.5)
+if args.no_quant:
+    from micromix_tpu.ops import quantize_ops as Q
+    Q.fakequant_device = lambda x2d, k4, k6, k8: x2d.astype(jnp.bfloat16)
+if args.no_norm:
+    from micromix_tpu.ops import quantize_ops as Q2
+
+    def _nrm(x, gamma, perm, k4, k6, k8, eps=1e-6):
+        x2d = x.reshape(-1, x.shape[-1])
+        return Q2.fakequant_device(jnp.take(x2d, perm, axis=1), k4, k6, k8)
+    Q2.rmsnorm_fakequant_x = _nrm
 
 from bench_8b_decode import build_quantized
 from micromix_tpu.models import ModelConfig

@@ -1,0 +1,120 @@
+"""Pallas TPU kernel: fused activation fakequant sites for decode.
+
+The ScaledW8 decode path consumes the exact bf16 grid image of the
+quantized activation (ops/quantize_ops.fakequant_device), so each
+quantize site is a norm/activation producer + per-32-block UE8M0
+scaling + saturating RNE grid round.  As XLA ops that is ~40 tiny HLO
+ops per site x 128 sites per decode step; ablation attributed
+~3.1 ms/step of the 8B decode chunk to these chains (rmsnorm ~2.3,
+quantize math ~0.8 — docs/perf_notes.md r3).  This kernel runs one site
+as ONE fused Pallas call:
+
+  * producer: identity | rmsnorm(x)*gamma | silu(gate)*up
+    (rmsnorm's row moment is permutation-invariant, so it is computed
+    on the already-permuted input; gamma arrives pre-permuted)
+  * per-block absmax over the device layout's 32 contiguous (m, nb)
+    lane slices, UE8M0 scale via exact f32 bit inspection, RNE round
+    onto the segment's format grid, scale back (mx/numerics.py — the
+    same primitives the encode kernel kernels/quantize.py uses)
+
+Value-identical to the XLA chain up to f32 reduction order in the
+rmsnorm row moment (interpret-mode tests pin a tight tolerance; the
+CPU path keeps the XLA chain).
+
+Reference analog: rmsnorm_bf16_mixed_kernel / activate_quantize_kernel
+(rmsnorm.cu:96-310, activate.cu:42-202) — there fused into the encode;
+here fused into the fakequant image the ScaledW8 GEMM eats.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..mx import numerics as nx
+from ..mx.formats import BLOCK_SIZE, FP4, FP6, FP8
+
+_F32 = jnp.float32
+
+
+def _fakequant_segment(xs, fmt):
+    """xs (m, kseg) f32 in device layout -> bf16 grid image (m, kseg)."""
+    kseg = xs.shape[-1]
+    nb = kseg // BLOCK_SIZE
+    maxv = jnp.abs(xs[:, :nb])
+    for i in range(1, BLOCK_SIZE):
+        maxv = jnp.maximum(maxv, jnp.abs(xs[:, i * nb:(i + 1) * nb]))
+    e = nx.block_scale_exponent(maxv, fmt)
+    q = nx.quantize_to_grid(
+        xs * pltpu.repeat(nx.exp2i(-e), BLOCK_SIZE, axis=1), fmt)
+    return q * pltpu.repeat(nx.exp2i(e), BLOCK_SIZE, axis=1)
+
+
+def _site_kernel(*refs, k4: int, k6: int, k8: int, producer: str,
+                 eps: float):
+    if producer == "rms":
+        x_ref, g_ref, out_ref = refs
+        xf = x_ref[:].astype(_F32)
+        rvar = jax.lax.rsqrt(
+            jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+        y = xf * rvar * g_ref[:].astype(_F32)
+    elif producer == "silu":
+        g_ref, u_ref, out_ref = refs
+        g = g_ref[:].astype(_F32)
+        y = g * jax.lax.logistic(g) * u_ref[:].astype(_F32)
+    else:
+        x_ref, out_ref = refs
+        y = x_ref[:].astype(_F32)
+    parts = []
+    off = 0
+    for kseg, fmt in ((k4, FP4), (k6, FP6), (k8, FP8)):
+        if kseg:
+            parts.append(_fakequant_segment(y[:, off:off + kseg], fmt))
+            off += kseg
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+PALLAS_FAKEQUANT_MAX_M = 128
+
+
+def fakequant_site_pallas(x: jnp.ndarray, k4: int, k6: int, k8: int, *,
+                          producer: str = "plain",
+                          gamma: Optional[jnp.ndarray] = None,
+                          up: Optional[jnp.ndarray] = None,
+                          eps: float = 1e-6,
+                          interpret: Optional[bool] = None) -> jnp.ndarray:
+    """(M, K) device-layout input(s) -> bf16 fakequant image, one call.
+
+    producer: "plain" | "rms" (needs ``gamma`` (K,) pre-permuted)
+    | "silu" (x = gate, needs ``up``).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m, k = x.shape
+    assert k == k4 + k6 + k8, (x.shape, k4, k6, k8)
+    kernel = functools.partial(_site_kernel, k4=k4, k6=k6, k8=k8,
+                               producer=producer, eps=eps)
+    spec2d = pl.BlockSpec((m, k), lambda: (0, 0), memory_space=pltpu.VMEM)
+    if producer == "rms":
+        ins = [spec2d, pl.BlockSpec((1, k), lambda: (0, 0),
+                                    memory_space=pltpu.VMEM)]
+        args = (x, gamma.reshape(1, k))
+    elif producer == "silu":
+        ins = [spec2d, spec2d]
+        args = (x, up)
+    else:
+        ins = [spec2d]
+        args = (x,)
+    return pl.pallas_call(
+        kernel,
+        in_specs=ins,
+        out_specs=spec2d,
+        out_shape=jax.ShapeDtypeStruct((m, k), jnp.bfloat16),
+        interpret=interpret,
+    )(*args)

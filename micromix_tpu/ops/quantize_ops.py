@@ -148,11 +148,27 @@ def fakequant_device(x2d: jnp.ndarray, k4: int, k6: int,
     return out.astype(jnp.bfloat16)
 
 
+def _use_site_kernel(x2d: jnp.ndarray) -> bool:
+    """One fused Pallas call per site at decode batch sizes: the XLA
+    fakequant chains cost ~3.1 ms/step at 8B shapes purely in tiny-op
+    overhead (ablation, docs/perf_notes.md r3); prefill rows keep the
+    XLA path, which fuses and tiles better at scale."""
+    from ..kernels.fakequant import PALLAS_FAKEQUANT_MAX_M
+    return (jax.default_backend() != "cpu"
+            and x2d.shape[0] <= PALLAS_FAKEQUANT_MAX_M)
+
+
 def rmsnorm_fakequant_x(x: jnp.ndarray, gamma: jnp.ndarray,
                         perm: jnp.ndarray, k4: int, k6: int, k8: int, *,
                         eps: float = 1e-6) -> jnp.ndarray:
     """rmsnorm_quantize_x's fakequant twin: same values, bf16 out."""
     x2d, _ = _flatten(x)
+    if _use_site_kernel(x2d):
+        from ..kernels.fakequant import fakequant_site_pallas
+        return fakequant_site_pallas(
+            jnp.take(x2d, perm, axis=1), k4, k6, k8, producer="rms",
+            gamma=jnp.take(gamma.astype(jnp.float32), perm, axis=0),
+            eps=eps)
     xf = x2d.astype(jnp.float32)
     rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
     g = jnp.take(gamma.astype(jnp.float32), perm, axis=0)
@@ -166,6 +182,9 @@ def reorder_fakequant_x(x: jnp.ndarray, perm: Optional[jnp.ndarray],
     x2d, _ = _flatten(x)
     if perm is not None:
         x2d = jnp.take(x2d, perm, axis=1)
+    if _use_site_kernel(x2d):
+        from ..kernels.fakequant import fakequant_site_pallas
+        return fakequant_site_pallas(x2d, k4, k6, k8)
     return fakequant_device(x2d, k4, k6, k8)
 
 
@@ -174,6 +193,10 @@ def silu_mul_fakequant_x(gate: jnp.ndarray, up: jnp.ndarray,
     """silu_mul_quantize_x's fakequant twin."""
     g2d, _ = _flatten(gate)
     u2d, _ = _flatten(up)
+    if _use_site_kernel(g2d):
+        from ..kernels.fakequant import fakequant_site_pallas
+        return fakequant_site_pallas(g2d, k4, k6, k8, producer="silu",
+                                     up=u2d)
     y = jax.nn.silu(g2d.astype(jnp.float32)) * u2d.astype(jnp.float32)
     return fakequant_device(y, k4, k6, k8)
 

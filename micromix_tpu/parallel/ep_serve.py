@@ -110,7 +110,8 @@ def make_ep_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
                 check_vma=False,
             )
             return fn(p, c, *args)
-        return jax.jit(wrapped)
+        # caches donated: the engine replaces them after every dispatch
+        return jax.jit(wrapped, donate_argnums=(1,))
 
     prefill_fn = mk(lambda p, c, t, sid, sp, li: prefill(
         p, cfg, c, t, sid, sp, li), 4)
@@ -119,10 +120,17 @@ def make_ep_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
 
     def multi_body(p, c, t, sid, pos, key, step, tt, kk, tp_, *ctl,
                    mode="full", logprobs=False):
-        return decode_multi(
+        out = decode_multi(
             p, cfg, c, t, sid, pos, jax.random.fold_in(key, step),
             tt, kk, tp_, ctl if ctl else None, n_steps=decode_chunk,
             sample_mode=mode, with_logprobs=logprobs)
+        # builtin-wrapper shape (toks, last, [lps,] caches): enables the
+        # engine's async decode pipelining (StepFns.decode_multi_returns_last)
+        if logprobs:
+            toks, lps, caches = out
+            return toks, toks[-1], lps, caches
+        toks, caches = out
+        return toks, toks[-1], caches
 
     decode_multi_fns = {}
     for m in ("simple", "topk", "full"):
@@ -130,7 +138,7 @@ def make_ep_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
             for lp in (False, True):
                 decode_multi_fns[(m, ctl, lp)] = mk(
                     functools.partial(multi_body, mode=m, logprobs=lp),
-                    12 if ctl else 8, n_lead_outs=2 if lp else 1)
+                    12 if ctl else 8, n_lead_outs=3 if lp else 2)
 
     def prefill_hist(hist_len: int):
         return mk(lambda p, c, t, sid, sp, li, h=hist_len: prefill(
@@ -143,7 +151,8 @@ def make_ep_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
     return StepFns(prefill=prefill_fn, decode=decode_fn,
                    decode_multi=decode_multi_fns,
                    prefill_hist=prefill_hist,
-                   prefill_batch=prefill_batch_fn)
+                   prefill_batch=prefill_batch_fn,
+                   decode_multi_returns_last=True)
 
 
 def make_ep_engine(params_ep: Params, cfg: ModelConfig, mesh: Mesh,

@@ -316,7 +316,9 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
                 check_vma=False,
             )
             return fn(p, c, *args)
-        return jax.jit(wrapped)
+        # caches are donated: the engine replaces them with the returned
+        # pytree after every dispatch (mirrors Engine's builtin jits)
+        return jax.jit(wrapped, donate_argnums=(1,))
 
     prefill_fn = mk(lambda p, c, t, sid, sp, li, cfg_l: tp_prefill(
         p, cfg_l, c, t, sid, sp, li), 3)
@@ -325,12 +327,19 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
 
     def multi_body(p, c, t, sid, pos, key, step, tt, kk, tp_, *ctl_args,
                    cfg_l, mode="full", logprobs=False):
-        return decode_multi(
+        out = decode_multi(
             p, cfg_l, c, t, sid, pos, jax.random.fold_in(key, step),
             tt, kk, tp_, ctl_args if ctl_args else None,
             n_steps=decode_chunk, sample_mode=mode, with_logprobs=logprobs,
             step_fn=lambda prm, cl, cc, tk, si, po: tp_decode_step(
                 prm, cl, cc, tk, si, po))
+        # builtin-wrapper shape (toks, last, [lps,] caches): the last
+        # step's tokens feed the engine's pipelined next-chunk dispatch
+        if logprobs:
+            toks, lps, caches = out
+            return toks, toks[-1], lps, caches
+        toks, caches = out
+        return toks, toks[-1], caches
     # per-sample-mode programs: the 'full' sampler argsorts the whole vocab
     # (~100 ms/step at V=32k, docs/perf_notes.md) and must only compile in
     # when a request actually uses top-p — mirrors Engine._decode_multi_cache.
@@ -344,7 +353,7 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
             for lp in (False, True):
                 decode_multi_fns[(m, ctl, lp)] = mk(
                     functools.partial(multi_body, mode=m, logprobs=lp),
-                    12 if ctl else 7, n_lead_outs=2 if lp else 1)
+                    12 if ctl else 7, n_lead_outs=3 if lp else 2)
 
     def prefill_hist(hist_len: int):
         """Chunked-prefill step specialized on the static history length."""
@@ -383,7 +392,7 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
                 check_vma=False)
             return fn(tp_p, d_p, tc, dc, st, sid, key, temps)
 
-        return jax.jit(wrapped)
+        return jax.jit(wrapped, donate_argnums=(2, 3))
 
     def plookup_multi(gamma: int, n_rounds: int, ngram: int):
         """StepFns.plookup_multi factory: shard-mapped prompt-lookup
@@ -406,7 +415,7 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
                 check_vma=False)
             return fn(tp_p, tc, st, sid, key, temps)
 
-        return jax.jit(wrapped)
+        return jax.jit(wrapped, donate_argnums=(1,))
 
     from ..serve.engine import StepFns
     return StepFns(prefill=prefill_fn, decode=decode_fn,
@@ -414,7 +423,8 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
                    prefill_hist=prefill_hist,
                    prefill_batch=prefill_batch_fn,
                    spec_multi=spec_multi,
-                   plookup_multi=plookup_multi)
+                   plookup_multi=plookup_multi,
+                   decode_multi_returns_last=True)
 
 
 def _is_hetero(params: Params) -> bool:

@@ -82,6 +82,10 @@ class StepFns:
     # ``(gamma, n_rounds, ngram) -> jitted fn`` factory enabling draft-
     # free prompt-lookup speculation (Engine(spec_ngram=...)).
     plookup_multi: Optional[Any] = None
+    # True when decode_multi variants return the last step's tokens as an
+    # extra output right after the token matrix (builtin wrapper shape) —
+    # enables async decode pipelining for custom (multi-chip) step fns
+    decode_multi_returns_last: bool = False
 
 
 @dataclasses.dataclass
@@ -162,6 +166,7 @@ class Engine:
         self._custom_decode_multi = None
         self._prefill_hist_factory = None
         self._custom_prefill_batch = None
+        self._custom_returns_last = False
         if step_fns is not None:
             # multi-chip serving: shard-mapped steps (StepFns dataclass;
             # bare 3/4-tuples accepted for backward compatibility)
@@ -172,6 +177,8 @@ class Engine:
             self._custom_decode_multi = step_fns.decode_multi
             self._prefill_hist_factory = step_fns.prefill_hist
             self._custom_prefill_batch = step_fns.prefill_batch
+            self._custom_returns_last = getattr(
+                step_fns, "decode_multi_returns_last", False)
         self._chunked_ok = (step_fns is None
                             or self._prefill_hist_factory is not None)
         if not self._chunked_ok:
@@ -348,7 +355,9 @@ class Engine:
         # waste is bounded (≤ one chunk) and never corrupts.  Any
         # scheduling event (admission, prefill, controls, cancel, page
         # stall) drains the in-flight chunk and takes the normal path.
-        self._pipeline_ok = (pipeline and step_fns is None
+        self._pipeline_ok = (pipeline
+                             and (step_fns is None
+                                  or self._custom_returns_last)
                              and not self._spec_on and not prefix_cache)
         self._inflight: Optional[Dict[str, Any]] = None
         # stats
@@ -1190,7 +1199,8 @@ class Engine:
                     self._base_key,
                     jnp.int32(self._sample_step), jnp.asarray(t),
                     jnp.asarray(k), jnp.asarray(p), *ctl)
-                if self._custom_decode_multi is not None:
+                if (self._custom_decode_multi is not None
+                        and not self._custom_returns_last):
                     last_dev = None
                     if need_lp:
                         toks_dev, lps_dev, self.caches = out

@@ -94,3 +94,45 @@ def test_silu_mul_quantize_x(rng):
     want2 = quantize_mixed_pallas(y, K4, K6, K8, interpret=True)
     np.testing.assert_array_equal(
         np.asarray(dequantize_mixed(t)), np.asarray(dequantize_mixed(want2)))
+
+
+def test_fakequant_site_kernel_parity(rng):
+    """kernels/fakequant.py (one fused Pallas call per site) must match
+    the XLA fakequant chains on every producer variant."""
+    import jax.numpy as jnp
+
+    from micromix_tpu.kernels.fakequant import fakequant_site_pallas
+    from micromix_tpu.ops.quantize_ops import (
+        fakequant_device, reorder_fakequant_x, rmsnorm_fakequant_x,
+        silu_mul_fakequant_x)
+
+    m, (k4, k6, k8) = 8, (256, 64, 64)
+    k = k4 + k6 + k8
+    x = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.bfloat16)
+    up = jnp.asarray(rng.normal(0, 1, (m, k)), jnp.bfloat16)
+    gamma = jnp.asarray(rng.normal(1, 0.1, (k,)), jnp.bfloat16)
+    perm = jnp.asarray(rng.permutation(k), jnp.int32)
+
+    # plain: bit-identical (no reduction-order freedom)
+    got = fakequant_site_pallas(x, k4, k6, k8, interpret=True)
+    want = fakequant_device(x, k4, k6, k8)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+    # silu: bit-identical too (elementwise producer)
+    got = fakequant_site_pallas(x, k4, k6, k8, producer="silu", up=up,
+                                interpret=True)
+    want = silu_mul_fakequant_x(x, up, k4, k6, k8)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+    # rms: the row moment's reduction order may differ -> tight allclose,
+    # and the quantized IMAGE is grid-snapped so most entries still match
+    got = np.asarray(fakequant_site_pallas(
+        jnp.take(x, perm, axis=1), k4, k6, k8, producer="rms",
+        gamma=jnp.take(gamma.astype(jnp.float32), perm), eps=1e-6,
+        interpret=True), np.float32)
+    want = np.asarray(rmsnorm_fakequant_x(x, gamma, perm, k4, k6, k8,
+                                          eps=1e-6), np.float32)
+    np.testing.assert_allclose(got, want, rtol=0.07, atol=1e-3)
+    assert (got == want).mean() > 0.98
