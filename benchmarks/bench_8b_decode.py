@@ -137,15 +137,20 @@ def main(argv=None) -> None:
     eng.run([Request(req_id=-1, prompt=[1, 2, 3], max_new_tokens=2)])
     eng.prefill_tokens = eng.decode_tokens = 0
 
-    # phase 1: admit + prefill everything (TTFT covers this)
+    # phase 1: admit + prefill everything (TTFT covers this) — through the
+    # engine's batched multi-slot pass (one dispatch for all fresh
+    # prompts; per-slot chunked prefill only for the leftovers), exactly
+    # what step() does under mixed load
     for r in reqs:
         eng.submit(r)
     t0 = time.perf_counter()
     while any(s.req is not None and s.pending for s in eng.slots) \
             or (eng.waiting and any(s.req is None for s in eng.slots)):
         eng._admit()
+        handled = (eng._prefill_batch_pass()
+                   if eng._can_batch_prefill else set())
         for i, s in enumerate(eng.slots):
-            if s.req is not None and s.pending:
+            if i not in handled and s.req is not None and s.pending:
                 eng._prefill_step(i)
     prefill_s = time.perf_counter() - t0
     # phase 2: decode-only steady state

@@ -114,6 +114,23 @@ def _pick_block(s: int) -> int:
     return min(512, _round_up(s, 8))
 
 
+def _pick_blocks(s: int):
+    """(bq, bk) defaults measured on v5e at 8B attention shapes
+    (benchmarks/bench_flash_prefill.py, 2026-08-19): asymmetric tiles win
+    — bk ≈ 2·bq at the ends of the range: S=2048 (256,512) 85.1 TF,
+    S=4096 (512,512) 96.7 TF, S=8192 (512,1024) 108.9 TF; the old
+    square-tile default left 1-13% on the table.  (XLA dense attention
+    measured 22 TF at S=2048, 8.9 TF at S=4096 on the same shapes.)"""
+    if s >= 8192:
+        return 512, 1024
+    if s >= 4096:
+        return 512, 512
+    if s >= 1024:
+        return 256, 512
+    b = _pick_block(s)
+    return b, b
+
+
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
@@ -139,8 +156,9 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     b, s, h, d = q.shape
     hkv = k.shape[2]
     g = h // hkv
-    bq = block_q or _pick_block(s)
-    bk = block_k or bq
+    dbq, dbk = _pick_blocks(s)
+    bq = block_q or dbq
+    bk = block_k or (bq if block_q else dbk)
     sp = _round_up(s, max(bq, bk))
     if sp != s:
         pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
