@@ -23,6 +23,12 @@ ap.add_argument("--no-sample", action="store_true")
 ap.add_argument("--no-mlp", action="store_true")
 ap.add_argument("--no-quant", action="store_true",
                 help="skip activation fakequant (identity bf16 cast)")
+ap.add_argument("--xla-sites", action="store_true",
+                help="XLA fakequant chains instead of Pallas site kernels")
+ap.add_argument("--unfused-sites", action="store_true",
+                help="separate Pallas site kernels (FUSE_SITE_GEMM off)")
+ap.add_argument("--no-sites", action="store_true",
+                help="sites = plain XLA producers, no quantize at all")
 ap.add_argument("--no-norm", action="store_true",
                 help="skip the rmsnorm inside the quantize sites too")
 ap.add_argument("--chunk", type=int, default=16)
@@ -46,6 +52,43 @@ if args.no_mlp:
 if args.no_quant:
     from micromix_tpu.ops import quantize_ops as Q
     Q.fakequant_device = lambda x2d, k4, k6, k8: x2d.astype(jnp.bfloat16)
+if args.xla_sites or args.no_sites or args.unfused_sites:
+    # any site ablation must ALSO leave the fused site+GEMM path, else
+    # project_all bypasses the patched twins entirely
+    from micromix_tpu.models import common as C
+    C.FUSE_SITE_GEMM = False
+if args.xla_sites:
+    # pre-r3 behavior: XLA fakequant chains instead of the fused Pallas
+    # site kernels (measures the site-kernel composition win)
+    from micromix_tpu.ops import quantize_ops as Q3
+    Q3._use_site_kernel = lambda x2d: False
+if args.no_sites:
+    # sites become plain XLA producers with NO quantize at all: upper
+    # bound on what the 128 site calls cost composed (values change,
+    # timing-only variant)
+    from micromix_tpu.models.common import rmsnorm as _rms
+    from micromix_tpu.ops import quantize_ops as Q4
+
+    def _rmsq(x, gamma, perm, k4, k6, k8, eps=1e-6):
+        x2d = x.reshape(-1, x.shape[-1])
+        return _rms(jnp.take(x2d, perm, axis=1),
+                    jnp.take(gamma, perm, axis=0), eps)
+
+    def _reoq(x, perm, k4, k6, k8):
+        x2d = x.reshape(-1, x.shape[-1])
+        if perm is not None:
+            x2d = jnp.take(x2d, perm, axis=1)
+        return x2d.astype(jnp.bfloat16)
+
+    def _siluq(gate, up, k4, k6, k8):
+        g2d = gate.reshape(-1, gate.shape[-1])
+        u2d = up.reshape(-1, up.shape[-1])
+        return (jax.nn.silu(g2d.astype(jnp.float32))
+                * u2d.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    Q4.rmsnorm_fakequant_x = _rmsq
+    Q4.reorder_fakequant_x = _reoq
+    Q4.silu_mul_fakequant_x = _siluq
 if args.no_norm:
     from micromix_tpu.ops import quantize_ops as Q2
 
@@ -110,6 +153,8 @@ for r in range(6):
     best = min(best, time.perf_counter() - t0)
 tag = "".join(s for s, on in (
     ("-append", args.no_append), ("-attn", args.no_attn),
-    ("-sample", args.no_sample), ("-mlp", args.no_mlp)) if on) or "full"
+    ("-sample", args.no_sample), ("-mlp", args.no_mlp),
+    ("+xla-sites", args.xla_sites), ("-sites", args.no_sites),
+    ("+unfused-sites", args.unfused_sites)) if on) or "full"
 print(f"variant={tag} wall/chunk={best*1e3:.2f} ms  "
       f"({best*1e3/CHUNK:.2f} ms/step)")

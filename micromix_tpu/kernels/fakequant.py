@@ -55,21 +55,22 @@ def _fakequant_segment(xs, fmt):
     return q * pltpu.repeat(nx.exp2i(e), BLOCK_SIZE, axis=1)
 
 
-def _site_kernel(*refs, k4: int, k6: int, k8: int, producer: str,
-                 eps: float):
+def site_producer_values(producer: str, x, aux, eps: float):
+    """Producer compute shared by the site kernel and the fused
+    site+GEMM kernel (kernels/mixed_matmul._w8_site_kernel): x/aux are
+    in-register arrays -> f32 pre-quantize site values."""
+    xf = x.astype(_F32)
     if producer == "rms":
-        x_ref, g_ref, out_ref = refs
-        xf = x_ref[:].astype(_F32)
         rvar = jax.lax.rsqrt(
             jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-        y = xf * rvar * g_ref[:].astype(_F32)
-    elif producer == "silu":
-        g_ref, u_ref, out_ref = refs
-        g = g_ref[:].astype(_F32)
-        y = g * jax.lax.logistic(g) * u_ref[:].astype(_F32)
-    else:
-        x_ref, out_ref = refs
-        y = x_ref[:].astype(_F32)
+        return xf * rvar * aux.astype(_F32)
+    if producer == "silu":
+        return xf * jax.lax.logistic(xf) * aux.astype(_F32)
+    return xf
+
+
+def fakequant_values(y, k4: int, k6: int, k8: int):
+    """f32 site values (m, K) -> bf16 grid image, segment by segment."""
     parts = []
     off = 0
     for kseg, fmt in ((k4, FP4), (k6, FP6), (k8, FP8)):
@@ -77,7 +78,18 @@ def _site_kernel(*refs, k4: int, k6: int, k8: int, producer: str,
             parts.append(_fakequant_segment(y[:, off:off + kseg], fmt))
             off += kseg
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
-    out_ref[:] = out.astype(out_ref.dtype)
+    return out.astype(jnp.bfloat16)
+
+
+def _site_kernel(*refs, k4: int, k6: int, k8: int, producer: str,
+                 eps: float):
+    if producer in ("rms", "silu"):
+        x_ref, aux_ref, out_ref = refs
+        y = site_producer_values(producer, x_ref[:], aux_ref[:], eps)
+    else:
+        x_ref, out_ref = refs
+        y = site_producer_values(producer, x_ref[:], None, eps)
+    out_ref[:] = fakequant_values(y, k4, k6, k8).astype(out_ref.dtype)
 
 
 PALLAS_FAKEQUANT_MAX_M = 128

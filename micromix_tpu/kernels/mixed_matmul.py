@@ -215,6 +215,148 @@ def mixed_matmul_w8(a_bf16: jnp.ndarray, w: ScaledW8, *,
     return out[:m, :n] if (mp, np_) != (m, n) else out
 
 
+def _w8_site_kernel(scale_ref, *refs, k4: int, k6: int, k8: int,
+                    producer: str, eps: float, out_dtype, emit_qx: bool):
+    """Fused activation-site + ScaledW8 GEMM body.
+
+    The activation fakequant (producer + per-32-block UE8M0 + grid RNE,
+    kernels/fakequant.py) runs ONCE per M-tile — on the first N-tile grid
+    step, into a VMEM scratch that persists across grid steps — and the
+    per-step work is the same decode+dot as ``_w8_kernel``.  Folding the
+    site into its first consumer removes one Pallas call (and the XLA
+    glue around it) per site from the decode scan; the site VPU work
+    hides under the first N-tile's weight DMA.
+
+    refs = [x (bm,K) (, gamma (1,K) | up (bm,K)), w (bn,K), out (bm,bn)
+            (, qx_out (bm,K) when emit_qx), qx_scratch (bm,K)].
+    """
+    from .fakequant import fakequant_values, site_producer_values
+    n_in = 2 if producer in ("rms", "silu") else 1
+    x_ref = refs[0]
+    aux_ref = refs[1] if n_in == 2 else None
+    w_ref = refs[n_in]
+    out_ref = refs[n_in + 1]
+    qx_out = refs[n_in + 2] if emit_qx else None
+    qx_scr = refs[-1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _site():
+        y = site_producer_values(
+            producer, x_ref[:], aux_ref[:] if n_in == 2 else None, eps)
+        qx = fakequant_values(y, k4, k6, k8)
+        qx_scr[:] = qx
+        if emit_qx:
+            qx_out[:] = qx
+
+    c = w_ref[:].astype(jnp.int32)
+    t = c & 0x7F
+    bits = (t << 22) | ((c & 0x80) << 24)
+    v0 = jax.lax.bitcast_convert_type(bits, _F32)
+    wv = (v0 * scale_ref[0]).astype(_BF16)
+    out_ref[:] = jax.lax.dot_general(
+        qx_scr[:], wv,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=_F32,
+    ).astype(out_dtype)
+
+
+def mixed_matmul_w8_site(x: jnp.ndarray, w: ScaledW8, *,
+                         producer: str = "plain",
+                         gamma: Optional[jnp.ndarray] = None,
+                         up: Optional[jnp.ndarray] = None,
+                         eps: float = 1e-6,
+                         emit_qx: bool = False,
+                         out_dtype=_BF16,
+                         bm: Optional[int] = None,
+                         bn: Optional[int] = None,
+                         interpret: Optional[bool] = None):
+    """Y = fakequant_site(x) @ dq(W)^T in ONE Pallas call.
+
+    ``x`` is the PRE-quantize input (m, K) already gathered into device
+    column order (the static channel perm stays outside — XLA fuses it
+    with the producing elementwise chain).  producer as in
+    kernels/fakequant.fakequant_site_pallas: "plain" | "rms" (``gamma``
+    pre-permuted) | "silu" (x = gate, needs ``up``).
+
+    emit_qx=True additionally returns the site's bf16 grid image (m, K)
+    for sibling consumers (quantize-once across q/k/v and gate/up) —
+    written once per M-tile from the same in-kernel compute.
+
+    Values are bit-identical to fakequant_site_pallas + mixed_matmul_w8
+    on the same operands (tests/test_mixed_matmul_kernel.py).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m, k = x.shape
+    n = w.rows
+    assert w.k == k, (w.k, k)
+    assert (w.k4, w.k6, w.k8) != (0, 0, 0)
+    if bm is None:
+        bm = min(256, _round_up(m, 32))
+    if bn is None:
+        # K-wide weights (down_proj) at bn=512 overflow scoped VMEM with
+        # the extra site operands resident (docs/perf_notes.md r2 note)
+        bn = 512 if (n % 512 == 0 and k <= 8192) else (
+            256 if n % 256 == 0 else 128)
+    bn = min(bn, _round_up(n, 128))
+    mp, np_ = _round_up(m, bm), _round_up(n, bn)
+    x_p = _pad_rows(x, mp)
+    codes = _pad_rows(w.codes, np_)
+    scale = nx.exp2i(w.base.astype(jnp.int32) + 126)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [scale.reshape(-1), x_p]
+    if producer == "rms":
+        assert gamma is not None
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(gamma.reshape(1, k))
+    elif producer == "silu":
+        assert up is not None
+        in_specs.append(pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_rows(up, mp))
+    in_specs.append(pl.BlockSpec((bn, k), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(codes)
+
+    out_specs = [pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((mp, np_), out_dtype)]
+    if emit_qx:
+        out_specs.append(pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((mp, k), jnp.bfloat16))
+
+    k4, k6, k8 = w.k4, w.k6, w.k8
+    kernel = functools.partial(
+        _w8_site_kernel, k4=k4, k6=k6, k8=k8, producer=producer, eps=eps,
+        out_dtype=out_dtype, emit_qx=emit_qx)
+    res = pl.pallas_call(
+        kernel,
+        grid=(mp // bm, np_ // bn),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * np_ * k,
+            bytes_accessed=mp * k * 2 + np_ * k + mp * np_ * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(*operands)
+    out = res[0]
+    out = out[:m, :n] if (mp, np_) != (m, n) else out
+    if emit_qx:
+        qx = res[1]
+        return out, (qx[:m] if mp != m else qx)
+    return out
+
+
 def mixed_matmul(a, w, *,
                  out_dtype=_BF16,
                  bm: Optional[int] = None,

@@ -338,6 +338,11 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # Quantized / dense linear application with shared input quantization
 # ---------------------------------------------------------------------------
 
+# Decode-path switch: run each activation site INSIDE its first consumer's
+# ScaledW8 GEMM (kernels/mixed_matmul.mixed_matmul_w8_site) instead of as a
+# separate Pallas site call.  Module-level so ablation probes can flip it.
+FUSE_SITE_GEMM = True
+
 
 def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
                 norm_gamma: Optional[jnp.ndarray] = None,
@@ -368,7 +373,37 @@ def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
         # the quantized activation, so skip encoding codes entirely —
         # identical values, ~half the per-site ops in the decode scan
         from ..ops.quantize_ops import (
-            reorder_fakequant_x, rmsnorm_fakequant_x)
+            _use_site_kernel, reorder_fakequant_x, rmsnorm_fakequant_x)
+        x2d = x.reshape(-1, x.shape[-1])
+        if FUSE_SITE_GEMM and _use_site_kernel(x2d):
+            # decode path: the site fakequant runs INSIDE the first
+            # consumer's GEMM (one Pallas call), which re-emits the bf16
+            # image for the sibling consumers (quantize-once across
+            # q/k/v and gate/up) — bit-identical to the unfused pair
+            from ..kernels.mixed_matmul import mixed_matmul_w8_site
+            assert linears[0].w.segments() == site.splits, \
+                (linears[0].w.segments(), site.splits)
+            xg = (jnp.take(x2d, site.perm, axis=1)
+                  if site.perm is not None else x2d)
+            kw = {}
+            if norm_gamma is not None:
+                g32 = norm_gamma.astype(jnp.float32)
+                if site.perm is not None:
+                    g32 = jnp.take(g32, site.perm, axis=0)
+                kw = dict(producer="rms", gamma=g32, eps=rms_eps)
+            first, rest = linears[0], linears[1:]
+            if rest:
+                y0, qx = mixed_matmul_w8_site(xg, first.w, emit_qx=True,
+                                              **kw)
+            else:
+                y0 = mixed_matmul_w8_site(xg, first.w, **kw)
+            if first.bias is not None:
+                y0 = y0 + first.bias
+            outs = [y0.reshape(*lead, y0.shape[-1])]
+            for lin in rest:
+                y = lin(qx)
+                outs.append(y.reshape(*lead, y.shape[-1]))
+            return outs
         if norm_gamma is not None:
             qx = rmsnorm_fakequant_x(x, norm_gamma, site.perm,
                                      *site.splits, eps=rms_eps)

@@ -90,37 +90,42 @@ def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
     gate, up = project_all(h, p.get("mlp_site"), [p["gate"], p["up"]],
                            p["ln2"], cfg.rms_eps)
     if _is_quant(p["down"]):
-        site = p["down_site"]
-        from .hetero import FakeQuantSite, fakequant_site
-        from ..mx.scaledw8 import ScaledW8
-        if isinstance(site, FakeQuantSite):
-            act = (jax.nn.silu(gate.astype(jnp.float32))
-                   * up.astype(jnp.float32))
-            dq = fakequant_site(act, site).reshape(-1, act.shape[-1])
-        elif isinstance(p["down"].w, ScaledW8):
-            from ..ops.quantize_ops import silu_mul_fakequant_x
-            dq = silu_mul_fakequant_x(gate, up, *site.splits)
-        else:
-            dq = silu_mul_quantize_x(gate, up, *site.splits)
-        y = p["down"](dq)
-        return y.reshape(*h.shape[:-1], y.shape[-1])
+        return _down_proj_q(gate, up, p["down_site"], p["down"])
     return p["down"](jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16)
                      * up)
 
 
-def _silu_mul_q(g, u, ep):
-    """Expert down-input quantize: fakequant-direct for ScaledW8 w2."""
+def _down_proj_q(g, u, site, down):
+    """silu(g)*u -> site quantize -> ``down`` linear (quantized path).
+
+    Single definition shared by mlp_block and the MoE expert FFN.  On the
+    decode path with a ScaledW8 down weight the silu site runs INSIDE the
+    down GEMM (kernels/mixed_matmul.mixed_matmul_w8_site, bit-identical);
+    output keeps g's leading shape.
+    """
     from ..mx.scaledw8 import ScaledW8
     from .hetero import FakeQuantSite, fakequant_site
-    site = ep["site_down"]
+    lead = g.shape[:-1]
     if isinstance(site, FakeQuantSite):
-        # heterogeneous-budget expert (models/hetero.py): budgets are data
+        # heterogeneous-budget path (models/hetero.py): budgets are data
         act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32))
-        return fakequant_site(act, site)
-    if isinstance(ep["w2"].w, ScaledW8):
-        from ..ops.quantize_ops import silu_mul_fakequant_x
-        return silu_mul_fakequant_x(g, u, *site.splits)
-    return silu_mul_quantize_x(g, u, *site.splits)
+        y = down(fakequant_site(act, site).reshape(-1, act.shape[-1]))
+        return y.reshape(*lead, y.shape[-1])
+    g2d = g.reshape(-1, g.shape[-1])
+    u2d = u.reshape(-1, u.shape[-1])
+    if isinstance(down.w, ScaledW8):
+        from ..ops.quantize_ops import _use_site_kernel, silu_mul_fakequant_x
+        from .common import FUSE_SITE_GEMM
+        if FUSE_SITE_GEMM and _use_site_kernel(g2d):
+            from ..kernels.mixed_matmul import mixed_matmul_w8_site
+            y = mixed_matmul_w8_site(g2d, down.w, producer="silu", up=u2d)
+            if down.bias is not None:
+                y = y + down.bias
+        else:
+            y = down(silu_mul_fakequant_x(g2d, u2d, *site.splits))
+    else:
+        y = down(silu_mul_quantize_x(g2d, u2d, *site.splits))
+    return y.reshape(*lead, y.shape[-1])
 
 
 def moe_capacity(cfg: ModelConfig, t: int) -> int:
@@ -162,7 +167,7 @@ def _expert_out(ep, toks):
     paths of moe_block)."""
     if _is_quant(ep["w1"]):
         g, u = project_all(toks, ep["site_in"], [ep["w1"], ep["w3"]])
-        return ep["w2"](_silu_mul_q(g, u, ep))
+        return _down_proj_q(g, u, ep["site_down"], ep["w2"])
     g, u = ep["w1"](toks), ep["w3"](toks)
     return ep["w2"](jax.nn.silu(g.astype(jnp.float32)).astype(
         jnp.bfloat16) * u)

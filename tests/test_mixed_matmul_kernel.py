@@ -66,3 +66,132 @@ def test_kernel_accuracy_vs_fp32(rng):
     ref = x @ w.T
     rel = np.linalg.norm(y - ref) / np.linalg.norm(ref)
     assert rel < 0.15, rel
+
+
+# ---------------------------------------------------------------------------
+# Fused site + ScaledW8 GEMM (kernels/mixed_matmul.mixed_matmul_w8_site)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("producer", ["plain", "rms", "silu"])
+@pytest.mark.parametrize("m,n,k4,k6,k8", [
+    (8, 256, 256, 0, 0),
+    (8, 256, 256, 128, 128),
+    (3, 384, 128, 128, 128),   # non-tile-aligned M and N
+])
+def test_fused_site_gemm_matches_unfused(rng, producer, m, n, k4, k6, k8):
+    """mixed_matmul_w8_site == fakequant site -> mixed_matmul_w8, exactly."""
+    from micromix_tpu.kernels.fakequant import fakequant_site_pallas
+    from micromix_tpu.kernels.mixed_matmul import (
+        mixed_matmul_w8, mixed_matmul_w8_site)
+    from micromix_tpu.mx.scaledw8 import pack_scaled_w8
+
+    k = k4 + k6 + k8
+    x = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(1, 0.1, (k,)).astype(np.float32))
+    up = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32) / 4
+                     ).astype(jnp.bfloat16)
+    wq = quantize_mixed(jnp.asarray(rng.normal(0, 0.3, (n, k)).astype(
+        np.float32)), k4, k6, k8, weight_fp4_only=True, pack_fp4=True)
+    w8 = pack_scaled_w8(wq)
+
+    kw = {}
+    if producer == "rms":
+        x_in = x.astype(jnp.bfloat16)
+        kw["gamma"] = gamma
+    elif producer == "silu":
+        x_in = x.astype(jnp.bfloat16)
+        kw["up"] = up
+    else:
+        x_in = x.astype(jnp.bfloat16)
+    qx_ref = fakequant_site_pallas(
+        x_in, k4, k6, k8, producer=producer,
+        gamma=kw.get("gamma"), up=kw.get("up"), interpret=True)
+    want = mixed_matmul_w8(qx_ref, w8, interpret=True)
+
+    got, qx = mixed_matmul_w8_site(x_in, w8, producer=producer,
+                                   emit_qx=True, interpret=True, **kw)
+    assert got.shape == (m, n) and qx.shape == (m, k)
+    np.testing.assert_array_equal(np.asarray(qx), np.asarray(qx_ref))
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(want, np.float32))
+
+
+def test_fused_site_gemm_no_emit(rng):
+    from micromix_tpu.kernels.mixed_matmul import mixed_matmul_w8_site
+    from micromix_tpu.mx.scaledw8 import pack_scaled_w8
+    k4, k6, k8 = 128, 128, 0
+    k = k4 + k6 + k8
+    x = jnp.asarray(rng.normal(0, 1, (4, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    wq = quantize_mixed(jnp.asarray(rng.normal(0, 0.3, (128, k)).astype(
+        np.float32)), k4, k6, k8, weight_fp4_only=True, pack_fp4=True)
+    w8 = pack_scaled_w8(wq)
+    out_pair, qx = mixed_matmul_w8_site(x, w8, emit_qx=True, interpret=True)
+    out_solo = mixed_matmul_w8_site(x, w8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out_solo), np.asarray(out_pair))
+
+
+def _mk_w8_linears(rng, k4, k6, k8, ns):
+    from micromix_tpu.models.common import QuantLinear
+    from micromix_tpu.mx.scaledw8 import pack_scaled_w8
+    k = k4 + k6 + k8
+    lins = []
+    for n in ns:
+        wq = quantize_mixed(
+            jnp.asarray(rng.normal(0, 0.3, (n, k)).astype(np.float32)),
+            k4, k6, k8, weight_fp4_only=True, pack_fp4=True)
+        lins.append(QuantLinear(w=pack_scaled_w8(wq)))
+    return lins
+
+
+@pytest.mark.parametrize("with_norm", [True, False])
+def test_project_all_fused_site_path(rng, monkeypatch, with_norm):
+    """project_all with the fused site+GEMM decode path vs the XLA-chain
+    path: same values (rms row-moment reduction order may flip a grid
+    round, hence tolerance; plain sites are exact)."""
+    import micromix_tpu.ops.quantize_ops as Q
+    from micromix_tpu.models.common import QuantSite, project_all
+
+    k4, k6, k8 = 256, 128, 128
+    k = k4 + k6 + k8
+    lins = _mk_w8_linears(rng, k4, k6, k8, [256, 128, 128])
+    perm = jnp.asarray(rng.permutation(k).astype(np.int32))
+    site = QuantSite(k4=k4, k6=k6, k8=k8, perm=perm)
+    gamma = jnp.asarray(rng.normal(1, 0.1, (k,)).astype(np.float32)
+                        ).astype(jnp.bfloat16) if with_norm else None
+    x = jnp.asarray(rng.normal(0, 1, (2, 1, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+
+    ref = project_all(x, site, lins, gamma)
+    monkeypatch.setattr(Q, "_use_site_kernel", lambda x2d: True)
+    got = project_all(x, site, lins, gamma)
+    assert len(got) == 3
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(r, np.float32),
+                                   rtol=0.03, atol=0.05)
+
+
+def test_down_proj_fused_silu_site_exact(rng, monkeypatch):
+    """_down_proj_q fused silu site == XLA chain bit-for-bit (no row
+    reductions in the silu producer)."""
+    import micromix_tpu.ops.quantize_ops as Q
+    from micromix_tpu.models.common import QuantSite
+    from micromix_tpu.models.transformer import _down_proj_q
+
+    k4, k6, k8 = 256, 0, 128
+    k = k4 + k6 + k8
+    (down,) = _mk_w8_linears(rng, k4, k6, k8, [256])
+    site = QuantSite(k4=k4, k6=k6, k8=k8, perm=None)
+    g = jnp.asarray(rng.normal(0, 1, (1, 3, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    u = jnp.asarray(rng.normal(0, 1, (1, 3, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    ref = _down_proj_q(g, u, site, down)
+    monkeypatch.setattr(Q, "_use_site_kernel", lambda x2d: True)
+    got = _down_proj_q(g, u, site, down)
+    assert got.shape == ref.shape == (1, 3, 256)
+    np.testing.assert_array_equal(np.asarray(got, np.float32),
+                                  np.asarray(ref, np.float32))
