@@ -26,7 +26,12 @@ import jax.numpy as jnp
 
 M, N, K4, K6, K8 = 32, 4096, 3584, 256, 256
 K = K4 + K6 + K8
-ITERS = 256
+# loop lengths for the marginal-rate estimate: the long loop runs ~0.5 s
+# on-chip, ~15x the tunnel's dispatch+fetch jitter (r3's 256-iter loops
+# ran ~30 ms total and the headline swung 30% round-over-round —
+# VERDICT r3 weak #3)
+IT_LO, IT_HI = 1024, 4096
+REPS = 5
 REF_TFLOPS = 5.5720  # mgemm/README.md:47 (RTX 5090, M=32 N=4096 K=4096)
 
 
@@ -69,22 +74,50 @@ def serving_lines() -> None:
     Runs benchmarks/bench_8b_decode.py in a time-boxed subprocess (its own
     jax process; isolates compile-cache state and crashes) and re-emits its
     JSON line so round-over-round serving regressions land in BENCH_r*.json
-    alongside the kernel headline.  Skipped cleanly on timeout/failure —
-    the headline GEMM line always prints last.
+    alongside the kernel headline.  A failure (crash, timeout, no metric
+    line) is LOUD: it emits an error JSON line and a stderr tail instead of
+    vanishing — r3 lost its serving line to a silent `except: pass` here
+    (VERDICT r3 weak #2).  The headline GEMM line always prints last.
+
+    Timeout budget: weight build ~80 s + prefill/decode compiles ~500 s
+    cold (incl. the full-batch warmup's batched-prefill program) + the
+    measured run ~100 s, ~3x slack for tunnel/compile-host contention
+    (a concurrent CPU-heavy job measurably slows tracing).
     """
+
+    def fail(reason: str, stderr_tail: str = "") -> None:
+        if stderr_tail:
+            print("bench: 8B serving stderr tail:\n" + stderr_tail,
+                  file=sys.stderr, flush=True)
+        print(json.dumps({"metric": "8B serving decode", "value": 0.0,
+                          "unit": "tok/s", "vs_baseline": 0.0,
+                          "error": reason}), flush=True)
+
     try:
         proc = subprocess.run(
             [sys.executable,
              os.path.join(os.path.dirname(os.path.abspath(__file__)),
                           "benchmarks", "bench_8b_decode.py"),
              "--share-layers", "--decode-chunk", "16", "--new-tokens", "48"],
-            capture_output=True, text=True, timeout=1500)
-        for line in proc.stdout.splitlines():
-            line = line.strip()
-            if line.startswith("{") and '"metric"' in line:
-                print(line, flush=True)
-    except Exception:
-        pass  # serving metrics are best-effort; never block the headline
+            capture_output=True, text=True, timeout=2100)
+    except subprocess.TimeoutExpired as e:
+        tail = (e.stderr or b"")
+        if isinstance(tail, bytes):
+            tail = tail.decode(errors="replace")
+        fail("timeout after 2100s", "\n".join(tail.splitlines()[-15:]))
+        return
+    except Exception as e:  # spawn failure — no subprocess output to show
+        fail(f"{type(e).__name__}: {e}")
+        return
+    emitted = 0
+    for line in proc.stdout.splitlines():
+        line = line.strip()
+        if line.startswith("{") and '"metric"' in line:
+            print(line, flush=True)
+            emitted += 1
+    if proc.returncode != 0 or not emitted:
+        fail(f"exit code {proc.returncode}, {emitted} metric lines",
+             "\n".join(proc.stderr.splitlines()[-15:]))
 
 
 def main() -> None:
@@ -123,11 +156,11 @@ def main() -> None:
     # marginal-rate timing: float(...) forces a synchronous value fetch
     # (block_until_ready returns early on this experimental backend) and the
     # two loop lengths cancel the constant RPC/fetch overhead.
-    it1, it2 = ITERS // 4, ITERS
-    f_lo, f_hi = mkloop(it1), mkloop(it2)
+    f_lo, f_hi = mkloop(IT_LO), mkloop(IT_HI)
 
     def timed(f):
-        float(f(a, wq, jnp.uint8(0)))  # compile / warm
+        # min-of-3: contention only ever INFLATES a run, so the min is
+        # the clean estimate of the loop's true runtime
         best = float("inf")
         for s in range(1, 4):
             t0 = time.time()
@@ -140,18 +173,23 @@ def main() -> None:
     # impossibly fast (observed "125 TFLOPs" > the HBM roofline), while
     # contention on the long loop deflates it.  Filter estimates below the
     # physical floor (operand bytes at a generous 1 TB/s — v5e HBM peak is
-    # ~0.82 TB/s) and take the best remaining of four: a stable
+    # ~0.82 TB/s) and take the MEDIAN of the surviving reps: a stable
     # HBM-streamed capability number, not a caching/contention lottery.
+    float(f_lo(a, wq, jnp.uint8(0)))  # compile / warm
+    float(f_hi(a, wq, jnp.uint8(0)))
     op_bytes = sum(int(o.size) for o in
                    (wq.codes, a.fp4, a.fp6, a.fp8, a.sf4, a.sf6, a.sf8))
     floor_s = op_bytes / 1.0e12
-    per_call = float("inf")
-    for _ in range(4):
+    ests = []
+    for _ in range(REPS):
         t1, t2 = timed(f_lo), timed(f_hi)
-        est = max((t2 - t1) / (it2 - it1), 1e-12)
+        est = max((t2 - t1) / (IT_HI - IT_LO), 1e-12)
         if est >= floor_s:
-            per_call = min(per_call, est)
-    if per_call == float("inf"):
+            ests.append(est)
+    if ests:
+        ests.sort()
+        per_call = ests[len(ests) // 2]
+    else:
         per_call = floor_s  # every rep glitched below the roofline
     tflops = 2.0 * M * N * K / per_call / 1e12
     return {

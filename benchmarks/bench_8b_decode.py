@@ -28,7 +28,8 @@ from timing import common_parser, emit  # noqa: E402
 
 
 def build_quantized(cfg, p6: int, p8: int, seed: int = 0,
-                    share_layers: bool = False, int8_turbo: bool = False):
+                    share_layers: bool = False, int8_turbo: bool = False,
+                    layout: str = "auto"):
     """Stream-build the quantized pytree: per-layer host quantization.
 
     share_layers=True quantizes ONE layer and aliases it across the stack —
@@ -76,7 +77,8 @@ def build_quantized(cfg, p6: int, p8: int, seed: int = 0,
                      "lm_head": jnp.zeros((1, 1)), "layers": [p]}
             layers.append(quantize_model_int8_turbo(shell, cfg)["layers"][0])
         else:
-            layers.append(quantize_layer(p, cfg, layer_calib, host=True))
+            layers.append(quantize_layer(p, cfg, layer_calib, host=True,
+                                         layout=layout))
         print(f"\rquantized layer {i + 1}/{n_build} "
               f"({time.perf_counter() - t0:.1f}s)", end="", flush=True,
               file=sys.stderr)
@@ -104,6 +106,11 @@ def main(argv=None) -> None:
                         "(same per-step HBM traffic, ~30x faster build)")
     p.add_argument("--int8-turbo", action="store_true",
                    help="W8A8 int8 turbo extension instead of MX mixed")
+    p.add_argument("--layout", choices=["auto", "splitplane"],
+                   default="auto",
+                   help="weight layout: auto = ScaledW8 (decode-speed "
+                        "first, ~7 GB at 8B), splitplane = packed "
+                        "MixedTensor (capacity first, ~4.3 GB)")
     args = p.parse_args(argv)
 
     from micromix_tpu.models import ModelConfig
@@ -124,7 +131,7 @@ def main(argv=None) -> None:
         p6 = p8 = 256
 
     params = build_quantized(cfg, p6, p8, share_layers=args.share_layers,
-                             int8_turbo=args.int8_turbo)
+                             int8_turbo=args.int8_turbo, layout=args.layout)
     eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
                  max_pages_per_seq=16, prefill_buckets=(16, 32),
                  decode_chunk=args.decode_chunk)
@@ -133,9 +140,18 @@ def main(argv=None) -> None:
                     prompt=list(rng.integers(0, cfg.vocab_size, 12)),
                     max_new_tokens=args.new_tokens)
             for i in range(args.batch)]
-    # warm/compile on a throwaway request
+    # warm/compile on throwaway requests shaped like the measured ones:
+    # a full batch of same-bucket prompts compiles the batched multi-slot
+    # prefill program too (r3's single-request warm left its ~100 s
+    # compile inside the measured prefill phase, poisoning TTFT), plus a
+    # short odd prompt for the per-slot chunked path
     eng.run([Request(req_id=-1, prompt=[1, 2, 3], max_new_tokens=2)])
+    eng.run([Request(req_id=-100 - i,
+                     prompt=list(rng.integers(0, cfg.vocab_size, 12)),
+                     max_new_tokens=2)
+             for i in range(args.batch)])
     eng.prefill_tokens = eng.decode_tokens = 0
+    eng.ttft.clear()
 
     # phase 1: admit + prefill everything (TTFT covers this) — through the
     # engine's batched multi-slot pass (one dispatch for all fresh
@@ -163,6 +179,8 @@ def main(argv=None) -> None:
     ttfts = sorted(eng.ttft.values())
     ttft_p50 = ttfts[len(ttfts) // 2] if ttfts else float("nan")
     tag = " int8-turbo" if args.int8_turbo else ""
+    if args.layout != "auto":
+        tag += f" {args.layout}"
     emit(f"8B-shape decode tokens/s/chip B={args.batch} "
          f"L={cfg.num_layers} H={cfg.hidden_size}{tag}",
          eng.decode_tokens / dt, "tokens/s",

@@ -31,6 +31,9 @@ ap.add_argument("--no-sites", action="store_true",
                 help="sites = plain XLA producers, no quantize at all")
 ap.add_argument("--no-norm", action="store_true",
                 help="skip the rmsnorm inside the quantize sites too")
+ap.add_argument("--no-perm", action="store_true",
+                help="skip the runtime channel gather at quantize sites "
+                     "(timing only — values wrong)")
 ap.add_argument("--chunk", type=int, default=16)
 args = ap.parse_args()
 
@@ -97,6 +100,10 @@ if args.no_norm:
         return Q2.fakequant_device(jnp.take(x2d, perm, axis=1), k4, k6, k8)
     Q2.rmsnorm_fakequant_x = _nrm
 
+if args.no_perm:
+    from micromix_tpu.models import common as C5
+    C5.SKIP_SITE_PERM = True
+
 from bench_8b_decode import build_quantized
 from micromix_tpu.models import ModelConfig
 from micromix_tpu.serve.kv_cache import make_cache
@@ -155,6 +162,7 @@ tag = "".join(s for s, on in (
     ("-append", args.no_append), ("-attn", args.no_attn),
     ("-sample", args.no_sample), ("-mlp", args.no_mlp),
     ("+xla-sites", args.xla_sites), ("-sites", args.no_sites),
-    ("+unfused-sites", args.unfused_sites)) if on) or "full"
+    ("+unfused-sites", args.unfused_sites),
+    ("-perm", args.no_perm)) if on) or "full"
 print(f"variant={tag} wall/chunk={best*1e3:.2f} ms  "
       f"({best*1e3/CHUNK:.2f} ms/step)")

@@ -123,10 +123,16 @@ def fakequant_site_pallas(x: jnp.ndarray, k4: int, k6: int, k8: int, *,
     else:
         ins = [spec2d]
         args = (x,)
+    # the f32 site intermediates (~2 live (m, k) f32 arrays) exceed the
+    # 16 MiB default scoped-VMEM limit at m=128 k=14336 — same knob as the
+    # fused site+GEMM kernel (kernels/mixed_matmul._SCOPED_VMEM_LIMIT)
+    from .mixed_matmul import _SCOPED_VMEM_LIMIT
     return pl.pallas_call(
         kernel,
         in_specs=ins,
         out_specs=spec2d,
         out_shape=jax.ShapeDtypeStruct((m, k), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_LIMIT),
         interpret=interpret,
     )(*args)

@@ -208,13 +208,18 @@ class QuantSite:
     k6: int = dataclasses.field(metadata=dict(static=True))
     k8: int = dataclasses.field(metadata=dict(static=True))
     perm: Optional[jnp.ndarray] = None
+    # (K,) i32 bit-packed Benes route equal to ``perm`` (mx/benes.py),
+    # present when K is a power of two: the decode path's fused site
+    # kernel gathers in-kernel via static roll+select stages instead of
+    # the XLA transpose+gather chain (2.9 ms/step at 8B, perf_notes r4)
+    benes: Optional[jnp.ndarray] = None
 
     @property
     def splits(self):
         return (self.k4, self.k6, self.k8)
 
 
-jax.tree_util.register_dataclass(QuantSite, data_fields=["perm"],
+jax.tree_util.register_dataclass(QuantSite, data_fields=["perm", "benes"],
                                  meta_fields=["k4", "k6", "k8"])
 
 
@@ -342,6 +347,11 @@ def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 # ScaledW8 GEMM (kernels/mixed_matmul.mixed_matmul_w8_site) instead of as a
 # separate Pallas site call.  Module-level so ablation probes can flip it.
 FUSE_SITE_GEMM = True
+# Ablation probes ONLY (timing, wrong values): skip the runtime channel
+# gather at quantize sites — XLA lowers the constant-perm jnp.take as a
+# transpose + row-gather + transpose chain, 3 sites x 32 layers per
+# decode step (benchmarks/probe_ablate.py --no-perm measures it).
+SKIP_SITE_PERM = False
 
 
 def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
@@ -383,14 +393,22 @@ def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
             from ..kernels.mixed_matmul import mixed_matmul_w8_site
             assert linears[0].w.segments() == site.splits, \
                 (linears[0].w.segments(), site.splits)
-            xg = (jnp.take(x2d, site.perm, axis=1)
-                  if site.perm is not None else x2d)
             kw = {}
+            if (site.perm is not None and site.benes is not None
+                    and not SKIP_SITE_PERM):
+                # in-kernel Benes gather: x and gamma go in UNPERMUTED
+                xg = x2d
+                kw["benes"] = site.benes
+            else:
+                xg = (jnp.take(x2d, site.perm, axis=1)
+                      if site.perm is not None and not SKIP_SITE_PERM
+                      else x2d)
             if norm_gamma is not None:
                 g32 = norm_gamma.astype(jnp.float32)
-                if site.perm is not None:
+                if (site.perm is not None and not SKIP_SITE_PERM
+                        and "benes" not in kw):
                     g32 = jnp.take(g32, site.perm, axis=0)
-                kw = dict(producer="rms", gamma=g32, eps=rms_eps)
+                kw.update(producer="rms", gamma=g32, eps=rms_eps)
             first, rest = linears[0], linears[1:]
             if rest:
                 y0, qx = mixed_matmul_w8_site(xg, first.w, emit_qx=True,

@@ -71,7 +71,15 @@ LayerCalib = Dict[str, SiteCalibration]
 def make_site(calib: SiteCalibration, k: int) -> QuantSite:
     k4, k6, k8 = calib.splits(k)
     dev_perm = lay.compose_segmented(calib.reorder_index, k4, k6, k8)
-    return QuantSite(k4=k4, k6=k6, k8=k8, perm=jnp.asarray(dev_perm))
+    benes = None
+    if k >= 2 and (k & (k - 1)) == 0:
+        # power-of-two K: precompute the Benes route so the decode-path
+        # site kernel gathers in-kernel (QuantSite.benes docstring)
+        from ..mx.benes import benes_route, pack_masks
+        _, masks = benes_route(np.asarray(dev_perm))
+        benes = jnp.asarray(pack_masks(masks))
+    return QuantSite(k4=k4, k6=k6, k8=k8, perm=jnp.asarray(dev_perm),
+                     benes=benes)
 
 
 def _maybe_scaledw8(wq, layout: str):
