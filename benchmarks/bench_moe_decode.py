@@ -1,0 +1,177 @@
+"""Mixtral-8x7B-shape MoE serving decode on one v5e chip.
+
+VERDICT r3 weak #4: everything MoE was tested at <=4 experts / <=2
+layers; this measures the real thing — 8 experts x 32 layers of
+capacity-dispatch decode (qMixtralLayer.py:367-452 shapes) through the
+continuous-batching engine — including the COMPILE time of the decode
+chunk program (the Python-unrolled expert loop inlines
+8 experts x 32 layers = 256 expert FFNs into one scan body, the
+compile-scale risk VERDICT flagged).
+
+Weights: --share-layers aliases ONE quantized layer across the stack
+(per-step HBM traffic is identical — every layer still streams its
+~1.47 GB of expert+attention codes; 32 distinct layers would be ~47 GB
+and not fit HBM anyway, so single-chip 8x7B is a compile/throughput
+measurement, not a capacity claim).
+
+Usage: python benchmarks/bench_moe_decode.py [--quick] [--batch N]
+       [--new-tokens N] [--layers N] [--experts N]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+_HERE = Path(__file__).resolve().parent
+sys.path.insert(0, str(_HERE))
+sys.path.insert(0, str(_HERE.parent))
+from timing import common_parser, emit  # noqa: E402
+
+
+def build_quantized_moe(cfg, p6: int, p8: int, seed: int = 0,
+                        share_layers: bool = True):
+    """Stream-build a quantized Mixtral pytree, one host-quantized layer
+    aliased across the stack (bench_8b_decode.build_quantized's MoE twin)."""
+    from micromix_tpu.models.common import DenseLinear
+    from micromix_tpu.models.surgery import (
+        ATTN_IN, DOWN_IN, MLP_IN, O_IN, SiteCalibration, quantize_layer)
+
+    rng = np.random.default_rng(seed)
+    hid, inter = cfg.hidden_size, cfg.intermediate_size
+    odim = cfg.num_heads * cfg.head_dim
+    kvdim = cfg.num_kv_heads * cfg.head_dim
+
+    def calib(k):
+        return SiteCalibration(np.arange(k, dtype=np.int32), p6, p8)
+
+    layer_calib = {ATTN_IN: calib(hid), O_IN: calib(odim),
+                   MLP_IN: calib(hid)}
+    for e in range(cfg.num_experts):
+        layer_calib[f"expert{e}_{MLP_IN}"] = calib(hid)
+        layer_calib[f"expert{e}_{DOWN_IN}"] = calib(inter)
+
+    def lin(n, k):
+        w = rng.standard_normal((n, k), dtype=np.float32)
+        w *= np.float32(1.0 / np.sqrt(k))
+        return DenseLinear(w=w, bias=None)
+
+    t0 = time.perf_counter()
+    n_build = 1 if share_layers else cfg.num_layers
+    layers = []
+    for i in range(n_build):
+        p = {
+            "ln1": jnp.ones((hid,), jnp.bfloat16),
+            "ln2": jnp.ones((hid,), jnp.bfloat16),
+            "q": lin(odim, hid), "k": lin(kvdim, hid),
+            "v": lin(kvdim, hid), "o": lin(hid, odim),
+            "router": lin(cfg.num_experts, hid),
+            "experts": [
+                {"w1": lin(inter, hid), "w3": lin(inter, hid),
+                 "w2": lin(hid, inter)}
+                for _ in range(cfg.num_experts)
+            ],
+        }
+        layers.append(quantize_layer(p, cfg, layer_calib, host=True))
+        print(f"\rquantized MoE layer {i + 1}/{n_build} "
+              f"({time.perf_counter() - t0:.1f}s)", end="", flush=True,
+              file=sys.stderr)
+    print(file=sys.stderr)
+    if share_layers:
+        layers = layers * cfg.num_layers
+    return {
+        "embed": jnp.asarray(
+            rng.normal(0, 0.02, (cfg.vocab_size, hid)), jnp.bfloat16),
+        "final_ln": jnp.ones((hid,), jnp.bfloat16),
+        "lm_head": jnp.asarray(
+            rng.normal(0, 0.02, (cfg.vocab_size, hid)), jnp.bfloat16),
+        "layers": layers,
+    }
+
+
+def main(argv=None) -> None:
+    p = common_parser(__doc__)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--new-tokens", type=int, default=32)
+    p.add_argument("--decode-chunk", type=int, default=8)
+    p.add_argument("--layers", type=int, default=32)
+    p.add_argument("--experts", type=int, default=8)
+    p.add_argument("--no-share-layers", action="store_true")
+    args = p.parse_args(argv)
+
+    from micromix_tpu.models import ModelConfig
+    from micromix_tpu.serve import Engine, Request
+
+    if args.quick:
+        cfg = ModelConfig(arch="mixtral", vocab_size=512, hidden_size=512,
+                          intermediate_size=1024, num_layers=2, num_heads=4,
+                          num_kv_heads=2, head_dim=128, rope_theta=5e5,
+                          rms_eps=1e-5, num_experts=4,
+                          num_experts_per_tok=2)
+        p6 = p8 = 128
+        args.batch, args.new_tokens = 2, 4
+    else:
+        cfg = ModelConfig(arch="mixtral", vocab_size=32000,
+                          hidden_size=4096, intermediate_size=14336,
+                          num_layers=args.layers, num_heads=32,
+                          num_kv_heads=8, head_dim=128, rope_theta=1e6,
+                          rms_eps=1e-5, num_experts=args.experts,
+                          num_experts_per_tok=2)
+        p6 = p8 = 256
+
+    params = build_quantized_moe(cfg, p6, p8,
+                                 share_layers=not args.no_share_layers)
+    eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
+                 max_pages_per_seq=16, prefill_buckets=(16,),
+                 decode_chunk=args.decode_chunk)
+    rng = np.random.default_rng(0)
+
+    # warm/compile, separately timed: the compile-scale question IS the
+    # benchmark for this shape
+    t0 = time.perf_counter()
+    eng.run([Request(req_id=-1, prompt=[1, 2, 3], max_new_tokens=2)])
+    compile_s = time.perf_counter() - t0
+    print(f"warm/compile: {compile_s:.1f}s", file=sys.stderr)
+    eng.prefill_tokens = eng.decode_tokens = 0
+    eng.ttft.clear()
+
+    reqs = [Request(req_id=i,
+                    prompt=list(rng.integers(0, cfg.vocab_size, 12)),
+                    max_new_tokens=args.new_tokens)
+            for i in range(args.batch)]
+    for r in reqs:
+        eng.submit(r)
+    t0 = time.perf_counter()
+    while any(s.req is not None and s.pending for s in eng.slots) \
+            or (eng.waiting and any(s.req is None for s in eng.slots)):
+        eng._admit()
+        handled = (eng._prefill_batch_pass()
+                   if eng._can_batch_prefill else set())
+        for i, s in enumerate(eng.slots):
+            if i not in handled and s.req is not None and s.pending:
+                eng._prefill_step(i)
+    prefill_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    while eng.step():
+        pass
+    dt = time.perf_counter() - t0
+    emit(f"Mixtral-shape MoE decode tokens/s/chip B={args.batch} "
+         f"L={cfg.num_layers} E={cfg.num_experts} H={cfg.hidden_size}",
+         eng.decode_tokens / dt, "tokens/s",
+         decode_tokens=eng.decode_tokens, decode_s=round(dt, 3),
+         compile_s=round(compile_s, 1), prefill_s=round(prefill_s, 3),
+         ms_per_decode_step=round(1e3 * dt * args.batch /
+                                  max(eng.decode_tokens, 1), 2),
+         approx_packed_gb=round(sum(
+             x.size * x.dtype.itemsize
+             for x in jax.tree_util.tree_leaves(params)) / 2**30, 2))
+
+
+if __name__ == "__main__":
+    main()

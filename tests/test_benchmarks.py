@@ -49,3 +49,9 @@ def test_bench_speculative_quick():
     recs = _run("bench_speculative", ["--quick", "--baseline"])
     assert recs[0]["decode_tokens"] > 0
     assert 0.0 <= recs[0]["acceptance"] <= 1.0
+
+
+def test_bench_moe_decode_quick():
+    recs = _run("bench_moe_decode", ["--quick"])
+    assert recs[0]["decode_tokens"] > 0
+    assert recs[0]["compile_s"] > 0
