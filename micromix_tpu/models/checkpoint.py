@@ -45,7 +45,8 @@ _NODE_TYPES = {
     "Int8TurboLinear": (Int8TurboLinear, ("w", "w_scale", "bias"), ()),
     "WeightOnlyLinear": (WeightOnlyLinear, ("w", "bias"), ()),
     "DenseLinear": (DenseLinear, ("w", "bias"), ()),
-    "QuantSite": (QuantSite, ("perm",), ("k4", "k6", "k8")),
+    # benes absent in pre-r4 manifests -> defaults to None on load
+    "QuantSite": (QuantSite, ("perm", "benes"), ("k4", "k6", "k8")),
     "FakeQuantSite": (FakeQuantSite, ("perm", "block_fmt"), ()),
 }
 _BY_CLASS = {cls: name for name, (cls, _, _) in _NODE_TYPES.items()}
