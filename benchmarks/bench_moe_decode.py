@@ -8,11 +8,15 @@ chunk program (the Python-unrolled expert loop inlines
 8 experts x 32 layers = 256 expert FFNs into one scan body, the
 compile-scale risk VERDICT flagged).
 
-Weights: --share-layers aliases ONE quantized layer across the stack
-(per-step HBM traffic is identical — every layer still streams its
-~1.47 GB of expert+attention codes; 32 distinct layers would be ~47 GB
-and not fit HBM anyway, so single-chip 8x7B is a compile/throughput
-measurement, not a capacity claim).
+Weights: ONE quantized layer aliased across the stack (per-step HBM
+traffic is identical — every layer still streams its ~1.47 GB of
+expert+attention codes).  NOTE: XLA's compile-time HBM accounting counts
+every aliased layer PARAMETER separately (measured: 32 aliased layers
+"Used 44.37G of 15.75G" and compile fails even though the unique
+buffers are ~2.5 GB), so the default depth is what fits that
+accounting; full 8x7B (47 GB packed) is a multi-chip model anyway —
+parallel/ep_serve.py is the real deployment path, this bench measures
+single-chip per-layer decode cost and compile scale.
 
 Usage: python benchmarks/bench_moe_decode.py [--quick] [--batch N]
        [--new-tokens N] [--layers N] [--experts N]

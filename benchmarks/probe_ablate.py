@@ -41,7 +41,7 @@ from micromix_tpu.serve import runner as R
 from micromix_tpu.serve import sampling as S
 
 if args.no_append:
-    R.append_kv = lambda cache, sids, pos, k, v: cache
+    R.append_kv = lambda cache, sids, pos, k, v, **kw: cache
 if args.no_attn:
     def _fake_attn(q, cache, sids, **kw):
         return q * 0.125

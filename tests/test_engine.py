@@ -270,9 +270,9 @@ def test_sample_batch_modes(rng):
     ones = jnp.ones((4,))
     # greedy identical across all modes
     outs = [np.asarray(sample_batch(logits, key, temps0, z, ones, mode=m))
-            for m in ("simple", "topk", "full")]
-    np.testing.assert_array_equal(outs[0], outs[1])
-    np.testing.assert_array_equal(outs[0], outs[2])
+            for m in ("greedy", "simple", "topk", "full")]
+    for o in outs[1:]:
+        np.testing.assert_array_equal(outs[0], o)
     # topk mode: draws land inside the top-k set
     k = jnp.full((4,), 5, jnp.int32)
     draws = np.asarray(sample_batch(logits, key, ones, k, ones, mode="topk"))
@@ -297,7 +297,9 @@ def test_sample_batch_modes(rng):
     assert all(int(d[0]) in top5 for d in many)
     # mode picker
     gp = SamplingParams()
-    assert pick_sample_mode([gp]) == "simple"
+    assert pick_sample_mode([gp]) == "greedy"   # all rows temperature<=0
+    assert pick_sample_mode([gp, SamplingParams(temperature=0.7)]) == \
+        "simple"
     assert pick_sample_mode([SamplingParams(temperature=1.0, top_k=5)]) == \
         "topk"
     assert pick_sample_mode([SamplingParams(temperature=1.0, top_p=0.9)]) == \
