@@ -133,7 +133,7 @@ def make_ep_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
         return toks, toks[-1], caches
 
     decode_multi_fns = {}
-    for m in ("simple", "topk", "full"):
+    for m in ("greedy", "simple", "topk", "full"):
         for ctl in (False, True):
             for lp in (False, True):
                 decode_multi_fns[(m, ctl, lp)] = mk(

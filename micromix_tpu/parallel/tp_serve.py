@@ -348,7 +348,7 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
     # next to the sharded weights), logprobs adds chosen-token
     # log-probabilities; each variant only compiles when requested.
     decode_multi_fns = {}
-    for m in ("simple", "topk", "full"):
+    for m in ("greedy", "simple", "topk", "full"):
         for ctl in (False, True):
             for lp in (False, True):
                 decode_multi_fns[(m, ctl, lp)] = mk(
