@@ -22,6 +22,12 @@ import time
 import numpy as np
 
 import jax
+
+# persistent compile cache (see benchmarks/timing.py note): the headline
+# loops and --validate programs reuse prior rounds' compiles
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+
 import jax.numpy as jnp
 
 M, N, K4, K6, K8 = 32, 4096, 3584, 256, 256

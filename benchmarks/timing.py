@@ -21,10 +21,20 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 from typing import Callable
 
 import jax
+
+# Persistent compilation cache: compiled programs round-trip through the
+# axon remote-compile tunnel ONCE and are reused across processes
+# (measured 12.1 s -> 0.28 s for a toy jit; the 8B serving bench's ~15 min
+# of compiles drop to minutes on a warm cache).  Safe on miss/failure —
+# jax just compiles normally.
+_CACHE = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), ".jax_cache")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
 
 __all__ = [
     "marginal_time",

@@ -18,6 +18,11 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# persistent compile cache: XLA:CPU compiles dominate suite wall time;
+# warm runs reuse them (keyed by platform+HLO hash, safe on miss)
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache"))
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
