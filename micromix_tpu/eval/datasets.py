@@ -53,6 +53,22 @@ def get_c4(tokenizer, split: str = "validation",
     return _tokenize_join(texts, tokenizer)
 
 
+def get_textfile(tokenizer, path: str, split: str = "test") -> np.ndarray:
+    """Local raw-text corpus: the offline twin of the hub loaders.
+
+    Lines split 90/10 into train/test (deterministic, order-preserving)
+    so calibration windows and the evaluation stream never overlap —
+    the same role wikitext2's train/test splits play in
+    model/datautils.py:11-33, without the network.  Used via the
+    ``file:<path>`` dataset name (CLI ``--dataset file:my_corpus.txt``).
+    """
+    with open(path, encoding="utf-8") as f:
+        lines = f.read().splitlines()
+    cut = max(1, int(len(lines) * 0.9))
+    texts = lines[:cut] if split == "train" else lines[cut:]
+    return _tokenize_join(texts, tokenizer)
+
+
 _LOADERS = {"wikitext2": get_wikitext2, "ptb": get_ptb, "c4": get_c4}
 
 
@@ -77,14 +93,19 @@ def get_loaders(name: str, tokenizer, *, split: str = "test",
                                   size=nsamples or 0)
         ]
         return calib_batches, test
-    if name not in _LOADERS:
+    if name.startswith("file:"):
+        path = name[len("file:"):]
+        loader = lambda tok, split: get_textfile(tok, path, split=split)
+    elif name in _LOADERS:
+        loader = _LOADERS[name]
+    else:
         raise ValueError(f"unknown dataset {name!r}; one of "
-                         f"{list(_LOADERS) + ['synthetic']}")
+                         f"{list(_LOADERS) + ['synthetic', 'file:<path>']}")
     try:
-        test = _LOADERS[name](tokenizer, split=split)
+        test = loader(tokenizer, split=split)
         calib_batches: List[np.ndarray] = []
         if nsamples:
-            train = _LOADERS[name](tokenizer, split="train")
+            train = loader(tokenizer, split="train")
             rng = np.random.default_rng(seed)
             for _ in range(nsamples):
                 i = rng.integers(0, len(train) - seqlen - 1)
