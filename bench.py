@@ -91,39 +91,49 @@ def serving_lines() -> None:
     (a concurrent CPU-heavy job measurably slows tracing).
     """
 
-    def fail(reason: str, stderr_tail: str = "") -> None:
-        if stderr_tail:
-            print("bench: 8B serving stderr tail:\n" + stderr_tail,
-                  file=sys.stderr, flush=True)
-        print(json.dumps({"metric": "8B serving decode", "value": 0.0,
-                          "unit": "tok/s", "vs_baseline": 0.0,
-                          "error": reason}), flush=True)
+    def run_one(tag: str, extra_args, timeout: int) -> None:
+        def fail(reason: str, stderr_tail: str = "") -> None:
+            if stderr_tail:
+                print(f"bench: {tag} stderr tail:\n" + stderr_tail,
+                      file=sys.stderr, flush=True)
+            print(json.dumps({"metric": tag, "value": 0.0,
+                              "unit": "tok/s", "vs_baseline": 0.0,
+                              "error": reason}), flush=True)
 
-    try:
-        proc = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "benchmarks", "bench_8b_decode.py"),
-             "--share-layers", "--decode-chunk", "16", "--new-tokens", "48"],
-            capture_output=True, text=True, timeout=2100)
-    except subprocess.TimeoutExpired as e:
-        tail = (e.stderr or b"")
-        if isinstance(tail, bytes):
-            tail = tail.decode(errors="replace")
-        fail("timeout after 2100s", "\n".join(tail.splitlines()[-15:]))
-        return
-    except Exception as e:  # spawn failure — no subprocess output to show
-        fail(f"{type(e).__name__}: {e}")
-        return
-    emitted = 0
-    for line in proc.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{") and '"metric"' in line:
-            print(line, flush=True)
-            emitted += 1
-    if proc.returncode != 0 or not emitted:
-        fail(f"exit code {proc.returncode}, {emitted} metric lines",
-             "\n".join(proc.stderr.splitlines()[-15:]))
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "benchmarks", "bench_8b_decode.py"),
+                 "--share-layers", "--decode-chunk", "16",
+                 "--new-tokens", "48", *extra_args],
+                capture_output=True, text=True, timeout=timeout)
+        except subprocess.TimeoutExpired as e:
+            tail = (e.stderr or b"")
+            if isinstance(tail, bytes):
+                tail = tail.decode(errors="replace")
+            fail(f"timeout after {timeout}s",
+                 "\n".join(tail.splitlines()[-15:]))
+            return
+        except Exception as e:  # spawn failure — no output to show
+            fail(f"{type(e).__name__}: {e}")
+            return
+        emitted = 0
+        for line in proc.stdout.splitlines():
+            line = line.strip()
+            if line.startswith("{") and '"metric"' in line:
+                print(line, flush=True)
+                emitted += 1
+        if proc.returncode != 0 or not emitted:
+            fail(f"exit code {proc.returncode}, {emitted} metric lines",
+                 "\n".join(proc.stderr.splitlines()[-15:]))
+
+    run_one("8B serving decode", [], 2100)
+    # throughput-mode scaling line: decode is weight-stream-bound, so
+    # B=16 nearly doubles tok/s (perf_notes "Slot scaling").  Short
+    # budget: warm compile cache makes this ~6 min; a cold cache aborts
+    # loudly instead of eating the round's bench window.
+    run_one("8B serving decode B=16", ["--batch", "16"], 900)
 
 
 def main() -> None:
