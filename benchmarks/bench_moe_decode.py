@@ -104,7 +104,10 @@ def main(argv=None) -> None:
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--new-tokens", type=int, default=32)
     p.add_argument("--decode-chunk", type=int, default=8)
-    p.add_argument("--layers", type=int, default=32)
+    # default 8: the measured compile-scale depth (docs/perf_notes.md) —
+    # 32 aliased layers fail XLA's compile-time HBM accounting single-chip
+    # ("Used 44.37G of 15.75G"); pass --layers 32 explicitly to reproduce
+    p.add_argument("--layers", type=int, default=8)
     p.add_argument("--experts", type=int, default=8)
     p.add_argument("--no-share-layers", action="store_true")
     args = p.parse_args(argv)

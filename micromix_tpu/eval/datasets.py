@@ -66,6 +66,12 @@ def get_textfile(tokenizer, path: str, split: str = "test") -> np.ndarray:
         lines = f.read().splitlines()
     cut = max(1, int(len(lines) * 0.9))
     texts = lines[:cut] if split == "train" else lines[cut:]
+    if not texts:
+        # e.g. a 1-line file: cut=1 leaves the test split empty, which
+        # would silently tokenize "" and fail later in eval windowing
+        raise ValueError(
+            f"file:{path} has {len(lines)} line(s) — too few for a "
+            f"non-empty {split!r} split (90/10 line split needs >= 2)")
     return _tokenize_join(texts, tokenizer)
 
 

@@ -160,18 +160,24 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
     bq = block_q or dbq
     bk = block_k or (bq if block_q else dbk)
     sp = _round_up(s, max(bq, bk))
-    if sp != s:
-        pad = ((0, 0), (0, sp - s), (0, 0), (0, 0))
+    dp = _round_up(d, 128)
+    if sp != s or dp != d:
+        pad = ((0, 0), (0, sp - s), (0, 0), (0, dp - d))
+        # D pads to the 128-lane tile: Mosaic cannot DMA-slice a sub-128
+        # lane region out of an ANY-space memref (head_dim 64 models).
+        # Zero D-columns are exact — they add 0 to every q.k dot and emit
+        # 0 output columns, sliced off below.
         q = jnp.pad(q, pad)
         k = jnp.pad(k, pad)
         v = jnp.pad(v, pad)
-    qt = q.transpose(0, 2, 1, 3)        # (B, H, S, D)
-    kt = k.transpose(0, 2, 1, 3)        # (B, Hkv, S, D)
+    qt = q.transpose(0, 2, 1, 3)        # (B, H, S, Dp)
+    kt = k.transpose(0, 2, 1, 3)        # (B, Hkv, S, Dp)
     vt = v.transpose(0, 2, 1, 3)
+    d_true, d = d, dp                   # kernel shapes use the padded D
 
     kernel = functools.partial(
         _flash_kernel, bq=bq, bk=bk, window=sliding_window,
-        scale=1.0 / (d ** 0.5), g=g)
+        scale=1.0 / (d_true ** 0.5), g=g)
 
     out = pl.pallas_call(
         kernel,
@@ -193,8 +199,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,
         ],
         interpret=interpret,
     )(qt, kt, vt)
-    out = out.transpose(0, 2, 1, 3)     # (B, S, H, D)
-    return out[:, :s] if sp != s else out
+    out = out.transpose(0, 2, 1, 3)     # (B, S, H, Dp)
+    if sp != s or dp != d_true:
+        out = out[:, :s, :, :d_true]
+    return out
 
 
 def flash_attention_hsd(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, *,

@@ -138,17 +138,18 @@ _TOTAL_VMEM_BUDGET = 100 * 1024 * 1024    # blocks x2 (pipelining) + stack
 
 def _w8_vmem_model(bm: int, bn: int, k: int, *, producer: str = "plain",
                    emit_qx: bool = False, site: bool = False,
-                   out_bytes: int = 2) -> tuple:
+                   out_bytes: int = 2, n_out: int = 1) -> tuple:
     """(scoped_stack_bytes, total_bytes) for one grid step of the ScaledW8
     kernels.  Stack: the decoded bf16 weight strip (bn, k) + f32 site
     intermediates (~2 live (bm, k) f32 arrays in the fused site kernel).
     Total adds the pipeline block buffers at 2x (double buffering): the
     (bm, k) bf16 activation blocks (x, + up for silu, + qx scratch and
     optional qx output in the site kernel), the (bn, k) u8 weight strip,
-    and the (bm, bn) output block."""
+    and the (bm, bn) output block(s) — ``n_out`` of them in the
+    multi-output stack kernel."""
     stack = bn * k * 2 + (2 * bm * k * 4 if site else bm * k * 2)
     n_act = 1 + (site and producer == "silu") + site * (1 + emit_qx)
-    blocks = n_act * bm * k * 2 + bn * k + bm * bn * out_bytes
+    blocks = n_act * bm * k * 2 + bn * k + n_out * bm * bn * out_bytes
     if site and producer == "rms":
         blocks += k * 4  # (1, k) f32 gamma row
     return stack, 2 * blocks + stack
@@ -173,12 +174,23 @@ def _fit_tiles(bm: int, bn: int, k: int, *, bm_fixed: bool, bn_fixed: bool,
             bm //= 2
         else:
             break
+    if over(bm, bn) and not (bm_fixed or bn_fixed):
+        # At the tile floors the model still exceeds budget: launching
+        # would surface as an opaque Mosaic scoped-VMEM error on-chip.
+        # Fail here with the modeled bytes so the tile plan is blamed.
+        stack, total = _w8_vmem_model(bm, bn, k, **model_kw)
+        raise ValueError(
+            f"ScaledW8 kernel VMEM model does not fit at floor tiles "
+            f"(bm={bm}, bn={bn}, K={k}): modeled stack {stack >> 20} MiB "
+            f"(budget {_SCOPED_MODEL_BUDGET >> 20}) / total {total >> 20} "
+            f"MiB (budget {_TOTAL_VMEM_BUDGET >> 20}); split the K axis "
+            f"or reduce the site operand set")
     return bm, bn
 
 
 def w8_tile_plan(m: int, n: int, k: int, *, site: bool = False,
                  producer: str = "plain", emit_qx: bool = False,
-                 out_bytes: int = 2,
+                 out_bytes: int = 2, n_out: int = 1,
                  bm: Optional[int] = None,
                  bn: Optional[int] = None) -> tuple:
     """The (bm, bn) auto-tiler shared by mixed_matmul_w8 and
@@ -192,7 +204,7 @@ def w8_tile_plan(m: int, n: int, k: int, *, site: bool = False,
     bn = min(bn, _round_up(n, 128))
     return _fit_tiles(bm, bn, k, bm_fixed=bm_fixed, bn_fixed=bn_fixed,
                       site=site, producer=producer, emit_qx=emit_qx,
-                      out_bytes=out_bytes)
+                      out_bytes=out_bytes, n_out=n_out)
 # ScaledW8 decode is ~6 VPU ops, so its fused kernel stays MXU-bound much
 # longer: measured 194 vs 168 TF at M=256 and 202 vs 187 at M=512 in the
 # kernel's favor; XLA dense wins from M=1024 (185 vs 209), v5e 2026-08-17.
@@ -479,6 +491,170 @@ def mixed_matmul_w8_site(x: jnp.ndarray, w: ScaledW8, *,
         qx = res[1]
         return out, (qx[:m] if mp != m else qx)
     return out
+
+
+def _w8_stack_kernel(scale_ref, *refs, k4: int, k6: int, k8: int,
+                     producer: str, eps: float, out_dtype,
+                     benes_dists, bounds):
+    """Multi-output fused site + ScaledW8 GEMM body (stacked weights).
+
+    One grid walks the stacked weight strips of ALL consumers of one
+    quantize site (q/k/v or gate/up): the site fakequant runs once per
+    M-tile into a persistent VMEM scratch (as in _w8_site_kernel), every
+    step decodes one strip with its section's scale (scale_ref[j]) and
+    dots it against the shared activation image, and the result lands in
+    the OWNING section's output buffer.  Non-owning outputs revisit a
+    clamped block index without writing — Mosaic flushes out blocks only
+    on block-index transitions (TPU-verified), so each block is flushed
+    exactly once, after its owning step wrote it.
+
+    refs = [x (, gamma) (, benes), w_strip, out_0..out_{n-1}, qx_scratch].
+    ``bounds``: static (start, end) strip ranges per output.
+    """
+    from .fakequant import fakequant_values, site_producer_values
+    n_in = 2 if producer == "rms" else 1
+    nb = 1 if benes_dists is not None else 0
+    x_ref = refs[0]
+    aux_ref = refs[1] if n_in == 2 else None
+    benes_ref = refs[n_in] if nb else None
+    w_ref = refs[n_in + nb]
+    n_out = len(bounds)
+    outs = refs[n_in + nb + 1:n_in + nb + 1 + n_out]
+    qx_scr = refs[-1]
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _site():
+        x = x_ref[:]
+        aux = aux_ref[:] if n_in == 2 else None
+        if benes_ref is not None:
+            packed = benes_ref[:]
+            x = apply_benes(x.astype(_F32), packed, benes_dists)
+            if producer == "rms":
+                aux = apply_benes(aux.astype(_F32), packed, benes_dists)
+        y = site_producer_values(producer, x, aux, eps)
+        qx_scr[:] = fakequant_values(y, k4, k6, k8)
+
+    c = w_ref[:].astype(jnp.int32)
+    t = c & 0x7F
+    bits = (t << 22) | ((c & 0x80) << 24)
+    v0 = jax.lax.bitcast_convert_type(bits, _F32)
+    wv = (v0 * scale_ref[j]).astype(_BF16)
+    y = jax.lax.dot_general(
+        qx_scr[:], wv,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=_F32,
+    ).astype(out_dtype)
+    for o_ref, (lo, hi) in zip(outs, bounds):
+        @pl.when(jnp.logical_and(j >= lo, j < hi))
+        def _write(o_ref=o_ref):
+            o_ref[:] = y
+
+
+def mixed_matmul_w8_stack(x: jnp.ndarray, st, *,
+                          producer: str = "plain",
+                          gamma: Optional[jnp.ndarray] = None,
+                          eps: float = 1e-6,
+                          benes: Optional[jnp.ndarray] = None,
+                          out_dtype=_BF16,
+                          bm: Optional[int] = None,
+                          interpret: Optional[bool] = None):
+    """[Y_i = fakequant_site(x) @ dq(W_i)^T for W_i in stack] in ONE call.
+
+    ``st`` is a ScaledW8Stack (mx/scaledw8.py) holding every consumer of
+    one quantize site; ``x``/``gamma``/``benes`` exactly as in
+    mixed_matmul_w8_site.  Returns a list of (m, N_i) outputs (biases NOT
+    applied — the stack wrapper in models/common.py adds them).
+
+    vs per-consumer calls this saves (n-1) Mosaic entry/pipeline ramps,
+    (n-1) HBM reads of the activation image, and the qx emit round-trip
+    per site — the launch-amortization the reference gets from its
+    beta-chained GEMM sequence (mgemm/src/gemm.cu:26-78), done the Mosaic
+    way: one grid, multiple out_specs with disjoint strip ownership.
+    Bit-identical to mixed_matmul_w8_site(emit_qx) + mixed_matmul_w8
+    sibling calls on the same operands (tests/test_mixed_matmul_kernel).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m, k = x.shape
+    assert st.k == k, (st.k, k)
+    assert producer in ("plain", "rms")
+    # strip width: largest tile dividing every padded section (the stack
+    # was built for one; recompute so hand-built stacks also work)
+    bn = 512
+    while bn > 128 and any(p % bn for p in st.padded):
+        bn //= 2
+    bm, _ = w8_tile_plan(m, max(st.sections), k, site=True,
+                         producer=producer, n_out=st.n_sections,
+                         out_bytes=jnp.dtype(out_dtype).itemsize,
+                         bm=bm, bn=bn)
+    mp = _round_up(m, bm)
+    x_p = _pad_rows(x, mp)
+
+    strips = [p // bn for p in st.padded]
+    bounds = []
+    off = 0
+    for s in strips:
+        bounds.append((off, off + s))
+        off += s
+    n_strips = off
+
+    # per-strip decode scales (n_strips,) f32 — SMEM, indexed by j
+    sec_scale = nx.exp2i(st.bases.astype(jnp.int32) + 126)
+    scale = jnp.concatenate(
+        [jnp.broadcast_to(sec_scale[i], (s,)) for i, s in enumerate(strips)])
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, k), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [scale, x_p]
+    if producer == "rms":
+        assert gamma is not None
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(gamma.reshape(1, k))
+    benes_dists = None
+    if benes is not None:
+        from ..mx.benes import benes_dists as _bd
+        benes_dists = _bd(k)
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(benes.reshape(1, k).astype(jnp.int32))
+    in_specs.append(pl.BlockSpec((bn, k), lambda i, j: (j, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(st.codes)
+
+    out_specs, out_shape = [], []
+    for (lo, hi), np_ in zip(bounds, st.padded):
+        out_specs.append(pl.BlockSpec(
+            (bm, bn),
+            lambda i, j, lo=lo, hi=hi: (i, jnp.clip(j - lo, 0, hi - lo - 1)),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((mp, np_), out_dtype))
+
+    kernel = functools.partial(
+        _w8_stack_kernel, k4=st.k4, k6=st.k6, k8=st.k8, producer=producer,
+        eps=eps, out_dtype=out_dtype, benes_dists=benes_dists,
+        bounds=tuple(bounds))
+    n_total = sum(st.padded)
+    res = pl.pallas_call(
+        kernel,
+        grid=(mp // bm, n_strips),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((bm, k), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * n_total * k,
+            bytes_accessed=mp * k * 2 + n_total * k + mp * n_total * 2,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+    return [o[:m, :n] if o.shape != (m, n) else o
+            for o, n in zip(res, st.sections)]
 
 
 def mixed_matmul(a, w, *,

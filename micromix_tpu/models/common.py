@@ -356,14 +356,23 @@ SKIP_SITE_PERM = False
 
 def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
                 norm_gamma: Optional[jnp.ndarray] = None,
-                rms_eps: float = 1e-6):
+                rms_eps: float = 1e-6, stack=None):
     """Apply [norm ->] [quantize ->] each linear in ``linears`` to x.
 
     x: (..., K).  Returns list of (..., N_i).
     Quantized path: one fused rmsnorm/reorder+quantize, then one segmented
     matmul per consumer (the quantize-once optimization).
+
+    ``stack`` (ScaledW8Stack): the site's consumers pre-stacked row-wise
+    (models/surgery.stack_layer_projections).  When given, ``linears`` is
+    ignored (may be None): the decode path runs site + ALL consumer GEMMs
+    as ONE multi-output Pallas call (kernels/mixed_matmul.
+    mixed_matmul_w8_stack); the prefill path dequantizes the stack once
+    and runs one wide MXU dot.  Bit-identical to the per-linear path.
     """
     lead = x.shape[:-1]
+    if stack is not None:
+        return _project_stack(x, site, stack, norm_gamma, rms_eps, lead)
     quantized = isinstance(linears[0], QuantLinear)
     if not quantized:
         xn = rmsnorm(x, norm_gamma, rms_eps) if norm_gamma is not None else x
@@ -437,3 +446,47 @@ def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
         y = lin(qx)
         outs.append(y.reshape(*lead, y.shape[-1]))
     return outs
+
+
+def _project_stack(x, site, stack, norm_gamma, rms_eps, lead):
+    """project_all's ScaledW8Stack leg: one multi-output call at decode M,
+    one dequant + wide dot at prefill M.  Values match the per-linear
+    ScaledW8 path bit-for-bit (same site image, same decode, same f32
+    accumulation per consumer)."""
+    from ..kernels.mixed_matmul import mixed_matmul_w8_stack
+    from ..mx.scaledw8 import dequantize_stack
+    from ..ops.quantize_ops import (
+        _use_site_kernel, reorder_fakequant_x, rmsnorm_fakequant_x)
+    assert stack.segments() == site.splits, (stack.segments(), site.splits)
+    x2d = x.reshape(-1, x.shape[-1])
+    if FUSE_SITE_GEMM and _use_site_kernel(x2d):
+        kw = {}
+        if (site.perm is not None and site.benes is not None
+                and not SKIP_SITE_PERM):
+            xg = x2d
+            kw["benes"] = site.benes
+        else:
+            xg = (jnp.take(x2d, site.perm, axis=1)
+                  if site.perm is not None and not SKIP_SITE_PERM else x2d)
+        if norm_gamma is not None:
+            g32 = norm_gamma.astype(jnp.float32)
+            if (site.perm is not None and not SKIP_SITE_PERM
+                    and "benes" not in kw):
+                g32 = jnp.take(g32, site.perm, axis=0)
+            kw.update(producer="rms", gamma=g32, eps=rms_eps)
+        outs = mixed_matmul_w8_stack(xg, stack, **kw)
+    else:
+        if norm_gamma is not None:
+            qx = rmsnorm_fakequant_x(x2d, norm_gamma, site.perm,
+                                     *site.splits, eps=rms_eps)
+        else:
+            qx = reorder_fakequant_x(x2d, site.perm, *site.splits)
+        wd = dequantize_stack(stack)
+        y = jnp.dot(qx, wd.T, preferred_element_type=jnp.float32
+                    ).astype(jnp.bfloat16)
+        outs, off = [], 0
+        for n, p in zip(stack.sections, stack.padded):
+            outs.append(y[:, off:off + n])
+            off += p
+    outs = [o if b is None else o + b for o, b in zip(outs, stack.biases)]
+    return [o.reshape(*lead, o.shape[-1]) for o in outs]

@@ -235,6 +235,62 @@ def quantize_layer(p: Dict[str, Any], cfg: ModelConfig,
     return out
 
 
+def stack_layer_projections(params: Dict[str, Any],
+                            memo: Optional[dict] = None) -> Dict[str, Any]:
+    """Serving-engine init transform: per layer, replace the q/k/v (and
+    gate/up) ScaledW8 QuantLinears with ONE row-stacked ScaledW8Stack so
+    the decode step runs each quantize site's consumers as a single
+    multi-output Pallas call (kernels/mixed_matmul.mixed_matmul_w8_stack)
+    and prefill runs one wide dot — the launch amortization the
+    reference's beta-chained GEMM sequence provides (mgemm/src/gemm.cu:
+    26-78), with identical values.
+
+    The per-weight entries are REMOVED (not duplicated): the stack is the
+    engine's only copy, so HBM holds one image of each weight.  Aliased
+    layer dicts (share_layers benches, truncated-stack drafts) map to one
+    shared stacked dict via ``memo``; pass one memo across target and
+    draft params so shared layers stay shared.  Layers whose projections
+    are not all ScaledW8 (split-plane layout, hetero budgets, dense) pass
+    through untouched.  MoE expert w1/w3 stacking is handled by the EP
+    engine separately.
+    """
+    from ..mx.scaledw8 import ScaledW8, stack_scaled_w8
+    if memo is None:
+        memo = {}
+
+    def stackable(p, names, site_key):
+        # the site must be a segmented QuantSite: the hetero budgets-as-
+        # data path (models/hetero.py FakeQuantSite) also carries ScaledW8
+        # weights but quantizes through a different, per-channel interface
+        return (isinstance(p.get(site_key), QuantSite)
+                and all(isinstance(p.get(n), QuantLinear)
+                        and isinstance(p[n].w, ScaledW8) for n in names))
+
+    def one(p):
+        key = id(p)
+        if key in memo:
+            return memo[key]
+        q = dict(p)
+        if stackable(p, ("q", "k", "v"), "attn_site"):
+            q["qkv_stack"] = stack_scaled_w8(
+                [p[n].w for n in ("q", "k", "v")],
+                [p[n].bias for n in ("q", "k", "v")])
+            for n in ("q", "k", "v"):
+                del q[n]
+        if stackable(p, ("gate", "up"), "mlp_site"):
+            q["gateup_stack"] = stack_scaled_w8(
+                [p[n].w for n in ("gate", "up")],
+                [p[n].bias for n in ("gate", "up")])
+            for n in ("gate", "up"):
+                del q[n]
+        memo[key] = q
+        return q
+
+    out = dict(params)
+    out["layers"] = [one(p) for p in params["layers"]]
+    return out
+
+
 def quantize_model(params: Dict[str, Any], cfg: ModelConfig,
                    calibs: List[LayerCalib], *,
                    weight_fp4_only: bool = True,

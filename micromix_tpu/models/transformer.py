@@ -53,8 +53,10 @@ def attention_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
         tap("attn_in", xn)
         q, k, v = p["q"](xn), p["k"](xn), p["v"](xn)
     else:
-        q, k, v = project_all(h, p.get("attn_site"), [p["q"], p["k"], p["v"]],
-                              p["ln1"], cfg.rms_eps)
+        stack = p.get("qkv_stack")
+        lins = None if stack is not None else [p["q"], p["k"], p["v"]]
+        q, k, v = project_all(h, p.get("attn_site"), lins,
+                              p["ln1"], cfg.rms_eps, stack=stack)
     q = q.reshape(b, s, nh, hd)
     k = k.reshape(b, s, nkv, hd)
     v = v.reshape(b, s, nkv, hd)
@@ -87,8 +89,10 @@ def mlp_block(h: jnp.ndarray, p: Params, cfg: ModelConfig,
                up.astype(jnp.float32)).astype(jnp.bfloat16)
         tap("down_in", act)
         return p["down"](act)
-    gate, up = project_all(h, p.get("mlp_site"), [p["gate"], p["up"]],
-                           p["ln2"], cfg.rms_eps)
+    stack = p.get("gateup_stack")
+    lins = None if stack is not None else [p["gate"], p["up"]]
+    gate, up = project_all(h, p.get("mlp_site"), lins,
+                           p["ln2"], cfg.rms_eps, stack=stack)
     if _is_quant(p["down"]):
         return _down_proj_q(gate, up, p["down_site"], p["down"])
     return p["down"](jax.nn.silu(gate.astype(jnp.float32)).astype(jnp.bfloat16)

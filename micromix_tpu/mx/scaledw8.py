@@ -241,12 +241,119 @@ def dequantize_scaled_w8(w: ScaledW8, dtype=jnp.bfloat16) -> jnp.ndarray:
     return decode_scaled_w8(w.codes, scaled_w8_k0(w.base), dtype)
 
 
+@dataclasses.dataclass(frozen=True)
+class ScaledW8Stack:
+    """Several same-K ScaledW8 weights stacked row-wise into ONE code array.
+
+    The decode-step multi-output GEMM (kernels/mixed_matmul.
+    mixed_matmul_w8_stack) runs all consumers of one quantize site —
+    q/k/v, or gate/up — as a single Pallas call whose grid walks the
+    stacked weight strips; each logical weight owns a contiguous strip
+    range and its own output buffer (clamped out index maps + revisit
+    semantics).  vs three separate calls this saves two Mosaic
+    entry/pipeline ramps, two reads of the shared activation image, and
+    the qx HBM round-trip per site per layer (the reference amortizes
+    launches the same way with its beta-chained GEMM sequence,
+    mgemm/src/gemm.cu:26-78).
+
+    codes: (sum padded_i, K) u8 — section i's rows padded to ``padded[i]``
+      (a multiple of the stack's strip width) with zero codes (decode to
+      exact 0.0, so padded rows are dead weight, never wrong values).
+    bases: (n_sections,) i32 per-section exponent offsets.
+    biases: tuple of per-section Optional (sections[i],) bf16 rows,
+      applied by the caller-facing wrapper after the GEMM.
+    sections / padded: static true and padded row counts per section.
+    k4/k6/k8: the shared activation segment budgets.
+    """
+
+    codes: jnp.ndarray
+    bases: jnp.ndarray
+    biases: Tuple
+    sections: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    padded: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    k4: int = dataclasses.field(default=0, metadata=dict(static=True))
+    k6: int = dataclasses.field(default=0, metadata=dict(static=True))
+    k8: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return self.codes.shape[1]
+
+    @property
+    def n_sections(self) -> int:
+        return len(self.sections)
+
+    def segments(self) -> Tuple[int, int, int]:
+        return (self.k4, self.k6, self.k8)
+
+
+jax.tree_util.register_dataclass(
+    ScaledW8Stack, data_fields=["codes", "bases", "biases"],
+    meta_fields=["sections", "padded", "k4", "k6", "k8"])
+
+
+def stack_strip_width(ns, k: int, n_out: int) -> int:
+    """The strip width (bn) all sections of a stack share: the widest of
+    512/256/128 that (a) divides every 128-aligned section row count and
+    (b) fits the multi-output kernel's VMEM model at decode bm."""
+    from ..kernels.mixed_matmul import w8_tile_plan
+    _, bn = w8_tile_plan(32, max(ns), k, site=True, producer="rms",
+                         n_out=n_out)
+    align = lambda n: (n + 127) // 128 * 128
+    while bn > 128 and any(align(n) % bn for n in ns):
+        bn //= 2
+    return bn
+
+
+def stack_scaled_w8(ws, biases=None) -> ScaledW8Stack:
+    """[ScaledW8, ...] (same K and segment budgets) -> ScaledW8Stack.
+
+    One-time device concat at model-build/engine-init time — NEVER inside
+    a step program (that would re-copy every weight byte each step).
+    """
+    ws = list(ws)
+    assert len(ws) >= 2
+    k = ws[0].k
+    segs = ws[0].segments()
+    for w in ws[1:]:
+        assert w.k == k and w.segments() == segs, \
+            "stacked weights must share K and segment budgets"
+    if biases is None:
+        biases = (None,) * len(ws)
+    bn = stack_strip_width([w.rows for w in ws], k, len(ws))
+    padded = tuple((w.rows + bn - 1) // bn * bn for w in ws)
+    parts = []
+    for w, np_ in zip(ws, padded):
+        c = w.codes
+        if np_ != w.rows:
+            c = jnp.pad(c, ((0, np_ - w.rows), (0, 0)))
+        parts.append(c)
+    return ScaledW8Stack(
+        codes=jnp.concatenate(parts, axis=0),
+        bases=jnp.concatenate([w.base.reshape(1) for w in ws]).astype(_I32),
+        biases=tuple(biases),
+        sections=tuple(w.rows for w in ws), padded=padded,
+        k4=segs[0], k6=segs[1], k8=segs[2])
+
+
+def dequantize_stack(st: ScaledW8Stack, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Whole-stack decode (rows in padded stacked order) — prefill path."""
+    k0 = scaled_w8_k0(st.bases)                      # (n_sections,)
+    rows = jnp.concatenate([jnp.full((p, 1), 1, _I32) * k0[i]
+                            for i, p in enumerate(st.padded)])
+    return decode_scaled_w8(st.codes, rows, dtype)
+
+
 __all__ = [
     "ScaledW8",
+    "ScaledW8Stack",
     "pack_scaled_w8",
     "pack_scaled_w8_host",
     "encode_scaled_values",
     "decode_scaled_w8",
     "scaled_w8_k0",
     "dequantize_scaled_w8",
+    "stack_scaled_w8",
+    "stack_strip_width",
+    "dequantize_stack",
 ]

@@ -31,6 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.common import ModelConfig
 from ..serve.runner import decode_multi, decode_step, prefill, prefill_batch
+from ..serve.sampling import SAMPLE_MODES
 
 Params = Dict[str, Any]
 
@@ -133,7 +134,7 @@ def make_ep_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
         return toks, toks[-1], caches
 
     decode_multi_fns = {}
-    for m in ("greedy", "simple", "topk", "full"):
+    for m in SAMPLE_MODES:
         for ctl in (False, True):
             for lp in (False, True):
                 decode_multi_fns[(m, ctl, lp)] = mk(

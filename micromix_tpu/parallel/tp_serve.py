@@ -30,6 +30,7 @@ from ..models.common import (
 from ..ops.quantize_ops import (
     activation_quantize, reorder_quantize_x, rmsnorm_quantize_x)
 from ..serve.attention import paged_decode_attention
+from ..serve.sampling import SAMPLE_MODES
 from ..serve.kv_cache import PagedKVCache, append_kv
 from ..serve.runner import _rope1, _rope_angles, decode_multi
 from .tp_quant import param_specs_tp
@@ -348,7 +349,7 @@ def make_tp_step_fns(params: Params, cfg: ModelConfig, mesh: Mesh, *,
     # next to the sharded weights), logprobs adds chosen-token
     # log-probabilities; each variant only compiles when requested.
     decode_multi_fns = {}
-    for m in ("greedy", "simple", "topk", "full"):
+    for m in SAMPLE_MODES:
         for ctl in (False, True):
             for lp in (False, True):
                 decode_multi_fns[(m, ctl, lp)] = mk(

@@ -115,6 +115,18 @@ class Engine:
                  spec_ngram: int = 0, spec_window: int = 256,
                  piggyback: bool = True, prefix_cache: bool = False,
                  pipeline: bool = True):
+        if step_fns is None:
+            # single-chip runner path: stack each quantize site's ScaledW8
+            # consumers (q/k/v, gate/up) so decode runs ONE multi-output
+            # Pallas call per site and prefill one wide dot
+            # (models/surgery.stack_layer_projections — a no-op for
+            # split-plane / hetero / dense layers).  Sharded step_fns
+            # build their own per-shard params and are left untouched.
+            from ..models.surgery import stack_layer_projections
+            memo: dict = {}
+            params = stack_layer_projections(params, memo)
+            if draft_params is not None:
+                draft_params = stack_layer_projections(draft_params, memo)
         self.params = params
         self.cfg = cfg
         self.max_seqs = max_seqs

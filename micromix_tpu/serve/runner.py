@@ -40,8 +40,10 @@ Caches = List[PagedKVCache]
 
 def _qkv(h, p, cfg):
     b, s, _ = h.shape
-    q, k, v = project_all(h, p.get("attn_site"), [p["q"], p["k"], p["v"]],
-                          p["ln1"], cfg.rms_eps)
+    stack = p.get("qkv_stack")
+    lins = None if stack is not None else [p["q"], p["k"], p["v"]]
+    q, k, v = project_all(h, p.get("attn_site"), lins,
+                          p["ln1"], cfg.rms_eps, stack=stack)
     return (q.reshape(b, s, cfg.num_heads, cfg.head_dim),
             k.reshape(b, s, cfg.num_kv_heads, cfg.head_dim),
             v.reshape(b, s, cfg.num_kv_heads, cfg.head_dim))

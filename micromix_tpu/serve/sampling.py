@@ -114,6 +114,15 @@ def sample(logits: jnp.ndarray, key: jax.Array,
     return jax.random.categorical(key, x, axis=-1).astype(jnp.int32)
 
 
+# THE sampler-mode registry, cheapest first.  Every engine flavor
+# (serve/engine.py, parallel/tp_serve.py, parallel/ep_serve.py) builds its
+# per-mode decode programs by iterating THIS tuple, and pick_sample_mode
+# only returns members of it — so adding a mode here is the single edit
+# that propagates everywhere (the r4 "greedy" mode crashed TP/EP engines
+# because each factory hand-listed its modes; commit 1d4efbe).
+SAMPLE_MODES = ("greedy", "simple", "topk", "full")
+
+
 def sample_batch(logits: jnp.ndarray, key: jax.Array,
                  temperature: jnp.ndarray, top_k: jnp.ndarray,
                  top_p: jnp.ndarray, *, mode: str = "full") -> jnp.ndarray:
@@ -132,6 +141,7 @@ def sample_batch(logits: jnp.ndarray, key: jax.Array,
       * "topk":   + top-k filter via lax.top_k (k <= _TOPK_WIDTH)
       * "full":   + top-p (nucleus) — needs the full descending sort
     """
+    assert mode in SAMPLE_MODES, mode
     x = logits.astype(jnp.float32)
     b, v = x.shape
     t = jnp.maximum(temperature, 1e-6)[:, None]

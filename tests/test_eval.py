@@ -146,3 +146,16 @@ def test_file_corpus_loader(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         get_loaders("nope", tok)
+
+
+def test_file_corpus_too_small_raises(tmp_path):
+    """A file too small for a non-empty 90/10 split must fail loudly, not
+    tokenize an empty string into an empty stream."""
+    import pytest
+
+    from micromix_tpu.eval.datasets import get_textfile
+
+    p = tmp_path / "tiny.txt"
+    p.write_text("only one line", encoding="utf-8")
+    with pytest.raises(ValueError, match="too few"):
+        get_textfile(_ToyTokenizer(), str(p), split="test")

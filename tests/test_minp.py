@@ -81,3 +81,31 @@ def test_engine_minp_one_equals_greedy():
     eng.run([ra, rb])
     assert ra.output == rb.output
     assert len(ra.output) == 6
+
+
+def test_sample_mode_registry_complete():
+    """One registry (sampling.SAMPLE_MODES) drives every engine flavor's
+    per-mode decode programs, and pick_sample_mode only returns members —
+    the r4 bug class (a mode added to one factory but not another,
+    commit 1d4efbe) is structurally impossible."""
+    import itertools
+
+    import jax
+    import pytest
+
+    import micromix_tpu.parallel.ep_serve as epm
+    import micromix_tpu.parallel.tp_serve as tpm
+    from micromix_tpu.serve.sampling import (
+        SAMPLE_MODES, SamplingParams, pick_sample_mode, sample_batch)
+
+    for t, k, p in itertools.product((0.0, 0.7), (0, 5, 1000), (1.0, 0.9)):
+        mode = pick_sample_mode([SamplingParams(temperature=t, top_k=k,
+                                                top_p=p)])
+        assert mode in SAMPLE_MODES
+    # the TP/EP factories iterate THE registry object, not a copy
+    assert tpm.SAMPLE_MODES is SAMPLE_MODES
+    assert epm.SAMPLE_MODES is SAMPLE_MODES
+    with pytest.raises(AssertionError):
+        sample_batch(jnp.zeros((1, 8)), jax.random.PRNGKey(0),
+                     jnp.zeros((1,)), jnp.zeros((1,), jnp.int32),
+                     jnp.ones((1,)), mode="nope")

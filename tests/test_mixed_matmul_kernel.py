@@ -319,3 +319,137 @@ def test_down_proj_fused_silu_site_exact(rng, monkeypatch):
     assert got.shape == ref.shape == (1, 3, 256)
     np.testing.assert_array_equal(np.asarray(got, np.float32),
                                   np.asarray(ref, np.float32))
+
+
+# ---------------------------------------------------------------------------
+# Multi-output stacked-weight kernel (mixed_matmul_w8_stack)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("producer", ["plain", "rms"])
+@pytest.mark.parametrize("ns", [[256, 128, 128], [384, 128], [300, 120]])
+def test_stack_kernel_matches_per_consumer_calls(rng, producer, ns):
+    """ONE multi-output call == site kernel + sibling w8 calls, exactly
+    (including non-bn-multiple sections, which pad with zero codes)."""
+    from micromix_tpu.kernels.mixed_matmul import (
+        mixed_matmul_w8, mixed_matmul_w8_site, mixed_matmul_w8_stack)
+    from micromix_tpu.mx.scaledw8 import pack_scaled_w8, stack_scaled_w8
+
+    k4, k6, k8 = 256, 128, 128
+    k = k4 + k6 + k8
+    ws = []
+    for n in ns:
+        wq = quantize_mixed(
+            jnp.asarray(rng.normal(0, 0.3, (n, k)).astype(np.float32)),
+            k4, k6, k8, weight_fp4_only=True, pack_fp4=True)
+        ws.append(pack_scaled_w8(wq))
+    st = stack_scaled_w8(ws)
+    x = jnp.asarray(rng.normal(0, 1, (5, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    kw = {}
+    if producer == "rms":
+        kw = dict(producer="rms",
+                  gamma=jnp.asarray(rng.normal(1, 0.1, (k,)).astype(
+                      np.float32)))
+
+    y0, qx = mixed_matmul_w8_site(x, ws[0], emit_qx=True, interpret=True,
+                                  **kw)
+    want = [y0] + [mixed_matmul_w8(qx, w, interpret=True) for w in ws[1:]]
+    got = mixed_matmul_w8_stack(x, st, interpret=True, **kw)
+    assert [g.shape for g in got] == [(5, n) for n in ns]
+    for g, r in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(r, np.float32))
+
+
+def test_stack_kernel_benes_matches_take(rng):
+    """Stack kernel with an in-kernel Benes route == permuted-input run."""
+    from micromix_tpu.kernels.mixed_matmul import mixed_matmul_w8_stack
+    from micromix_tpu.mx.benes import benes_route, pack_masks
+    from micromix_tpu.mx.scaledw8 import pack_scaled_w8, stack_scaled_w8
+
+    k4, k6, k8 = 256, 128, 128
+    k = k4 + k6 + k8
+    ws = []
+    for n in (256, 128):
+        wq = quantize_mixed(
+            jnp.asarray(rng.normal(0, 0.3, (n, k)).astype(np.float32)),
+            k4, k6, k8, weight_fp4_only=True, pack_fp4=True)
+        ws.append(pack_scaled_w8(wq))
+    st = stack_scaled_w8(ws)
+    perm = rng.permutation(k).astype(np.int32)
+    _, masks = benes_route(perm)
+    bits = jnp.asarray(pack_masks(masks))
+    x = jnp.asarray(rng.normal(0, 1, (4, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    gamma = jnp.asarray(rng.normal(1, 0.1, (k,)).astype(np.float32))
+    got = mixed_matmul_w8_stack(x, st, producer="rms", gamma=gamma,
+                                benes=bits, interpret=True)
+    ref = mixed_matmul_w8_stack(
+        jnp.take(x, jnp.asarray(perm), axis=1), st, producer="rms",
+        gamma=jnp.take(gamma, jnp.asarray(perm), axis=0), interpret=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(r, np.float32))
+
+
+@pytest.mark.parametrize("decode_path", [True, False])
+def test_project_all_stack_matches_linears(rng, monkeypatch, decode_path):
+    """project_all(stack=...) == project_all(linears) on both the decode
+    (multi-output kernel) and prefill (dequant + wide dot) branches."""
+    import micromix_tpu.ops.quantize_ops as Q
+    from micromix_tpu.models.common import QuantSite, project_all
+    from micromix_tpu.mx.scaledw8 import stack_scaled_w8
+
+    k4, k6, k8 = 256, 128, 128
+    k = k4 + k6 + k8
+    lins = _mk_w8_linears(rng, k4, k6, k8, [256, 128, 128])
+    biases = [jnp.asarray(rng.normal(0, 1, (n,)).astype(np.float32)
+                          ).astype(jnp.bfloat16) for n in (256, 128, 128)]
+    import dataclasses as dc
+    lins = [dc.replace(l, bias=b) for l, b in zip(lins, biases)]
+    st = stack_scaled_w8([l.w for l in lins], [l.bias for l in lins])
+    perm = jnp.asarray(rng.permutation(k).astype(np.int32))
+    site = QuantSite(k4=k4, k6=k6, k8=k8, perm=perm)
+    gamma = jnp.asarray(rng.normal(1, 0.1, (k,)).astype(np.float32)
+                        ).astype(jnp.bfloat16)
+    x = jnp.asarray(rng.normal(0, 1, (2, 1, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    monkeypatch.setattr(Q, "_use_site_kernel", lambda x2d: decode_path)
+    ref = project_all(x, site, lins, gamma)
+    got = project_all(x, site, None, gamma, stack=st)
+    assert len(got) == 3
+    for g, r in zip(got, ref):
+        assert g.shape == r.shape
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(r, np.float32))
+
+
+def test_stack_layer_projections_transform(rng):
+    """Engine-init stacking: keys removed, aliased layers stay shared, and
+    the full-model forward is unchanged (CPU prefill branch)."""
+    from micromix_tpu.models.surgery import (
+        default_calibration, quantize_model, random_dense_params,
+        stack_layer_projections)
+    from micromix_tpu.models.transformer import forward
+    from micromix_tpu.models.common import ModelConfig
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=2,
+                      num_kv_heads=1, head_dim=128, rope_theta=1e4,
+                      rms_eps=1e-5)
+    dense = random_dense_params(cfg, seed=0)
+    qp = quantize_model(dense, cfg, default_calibration(cfg, 64, 64))
+    # alias layer 1 onto layer 0 (the share_layers bench shape)
+    qp["layers"][1] = qp["layers"][0]
+    sp = stack_layer_projections(qp)
+    l0, l1 = sp["layers"]
+    assert l0 is l1, "aliased layers must stay aliased (one stack)"
+    for key in ("q", "k", "v", "gate", "up"):
+        assert key not in l0
+    assert l0["qkv_stack"].sections == (256, 128, 128)
+    assert l0["gateup_stack"].sections == (512, 512)
+    toks = jnp.asarray(rng.integers(0, 64, (1, 8)).astype(np.int32))
+    ref = forward(qp, cfg, toks)
+    got = forward(sp, cfg, toks)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
