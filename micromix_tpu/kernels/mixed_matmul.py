@@ -657,6 +657,165 @@ def mixed_matmul_w8_stack(x: jnp.ndarray, st, *,
             for o, n in zip(res, st.sections)]
 
 
+def _w8_grouped_kernel(scale_ref, *refs, k4: int, k6: int, k8: int,
+                       producer: str, eps: float, out_dtype,
+                       has_benes: bool, benes_dists, bounds):
+    """Grouped (block-diagonal) fused site + ScaledW8 GEMM body.
+
+    Grid (E, n_strips): group e (an MoE expert) owns its own activation
+    rows x[e] (capacity-gathered tokens), its own weight planes w[e], and
+    its own site route; within e's row the site fakequant runs once
+    (j == 0) into the persistent scratch and each step streams one weight
+    strip.  This turns the per-expert loop of 3 tiny Pallas calls x E
+    experts into TWO calls per MoE block total (w1|w3 grouped, then the
+    silu w2 group) — the grouped-GEMM form production MoE systems use,
+    with the MX decode fused in (reference iterates experts serially,
+    qMixtralLayer.py:437-450).
+
+    refs = [x (1,C,K) (, up (1,C,K)) (, benes (1,1,K)), w (1,bn,K),
+            out_0..out_{n-1} (1,C,bn), qx_scratch (C,K)].
+    """
+    from .fakequant import fakequant_values, site_producer_values
+    n_in = 2 if producer == "silu" else 1
+    nb = 1 if has_benes else 0
+    x_ref = refs[0]
+    aux_ref = refs[1] if n_in == 2 else None
+    benes_ref = refs[n_in] if nb else None
+    w_ref = refs[n_in + nb]
+    n_out = len(bounds)
+    outs = refs[n_in + nb + 1:n_in + nb + 1 + n_out]
+    qx_scr = refs[-1]
+    e = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _site():
+        x = x_ref[0]
+        aux = aux_ref[0] if n_in == 2 else None
+        if benes_ref is not None:
+            x = apply_benes(x.astype(_F32), benes_ref[0], benes_dists)
+        y = site_producer_values(producer, x, aux, eps)
+        qx_scr[:] = fakequant_values(y, k4, k6, k8)
+
+    c = w_ref[0].astype(jnp.int32)
+    t = c & 0x7F
+    bits = (t << 22) | ((c & 0x80) << 24)
+    v0 = jax.lax.bitcast_convert_type(bits, _F32)
+    wv = (v0 * scale_ref[e, j]).astype(_BF16)
+    y = jax.lax.dot_general(
+        qx_scr[:], wv,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=_F32,
+    ).astype(out_dtype)
+    for o_ref, (lo, hi) in zip(outs, bounds):
+        @pl.when(jnp.logical_and(j >= lo, j < hi))
+        def _write(o_ref=o_ref):
+            o_ref[0] = y
+
+
+def mixed_matmul_w8_grouped(x: jnp.ndarray, gw, *,
+                            producer: str = "plain",
+                            up: Optional[jnp.ndarray] = None,
+                            benes: Optional[jnp.ndarray] = None,
+                            eps: float = 1e-6,
+                            out_dtype=_BF16,
+                            interpret: Optional[bool] = None):
+    """[Y_i[e] = site(x[e]) @ dq(W_i[e])^T for every group e] in ONE call.
+
+    x: (E, C, K) per-group pre-site activations; ``gw`` a GroupedW8
+    (mx/scaledw8.py) holding each group's stacked consumer weights;
+    ``benes``: optional (E, K) i32 per-group routes (site perms differ
+    per expert); producer "plain" | "silu" (``up`` (E, C, K)).
+    Returns [ (E, C, N_i) ] per section, biases not applied.
+    Bit-identical to looping mixed_matmul_w8_site over groups.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    eg, m, k = x.shape
+    assert gw.k == k, (gw.k, k)
+    assert gw.groups == eg, (gw.groups, eg)
+    assert producer in ("plain", "silu")
+
+    bn = 512
+    while bn > 128 and any(p % bn for p in gw.padded):
+        bn //= 2
+    bm = min(_round_up(m, 8), 128)
+    mp = _round_up(m, bm)
+    if mp != m:
+        pad = ((0, 0), (0, mp - m), (0, 0))
+        x = jnp.pad(x, pad)
+        if up is not None:
+            up = jnp.pad(up, pad)
+
+    strips = [p // bn for p in gw.padded]
+    bounds, off = [], 0
+    for s in strips:
+        bounds.append((off, off + s))
+        off += s
+    n_strips = off
+
+    sec_scale = nx.exp2i(gw.bases.astype(jnp.int32) + 126)  # (E, n_sec)
+    scale = jnp.concatenate(
+        [jnp.broadcast_to(sec_scale[:, i:i + 1], (eg, s))
+         for i, s in enumerate(strips)], axis=1)            # (E, n_strips)
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, mp, k), lambda e, j: (e, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [scale, x]
+    if producer == "silu":
+        assert up is not None and benes is None
+        in_specs.append(pl.BlockSpec((1, mp, k), lambda e, j: (e, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(up)
+    benes_dists = None
+    if benes is not None:
+        from ..mx.benes import benes_dists as _bd
+        benes_dists = _bd(k)
+        in_specs.append(pl.BlockSpec((1, 1, k), lambda e, j: (e, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(benes.reshape(eg, 1, k).astype(jnp.int32))
+    in_specs.append(pl.BlockSpec((1, bn, k), lambda e, j: (e, j, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(gw.codes)
+
+    out_specs, out_shape = [], []
+    for (lo, hi), np_ in zip(bounds, gw.padded):
+        out_specs.append(pl.BlockSpec(
+            (1, mp, bn),
+            lambda e, j, lo=lo, hi=hi: (e, 0, jnp.clip(j - lo, 0,
+                                                       hi - lo - 1)),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((eg, mp, np_), out_dtype))
+
+    kernel = functools.partial(
+        _w8_grouped_kernel, k4=gw.k4, k6=gw.k6, k8=gw.k8,
+        producer=producer, eps=eps, out_dtype=out_dtype,
+        has_benes=benes is not None, benes_dists=benes_dists,
+        bounds=tuple(bounds))
+    n_total = sum(gw.padded)
+    res = pl.pallas_call(
+        kernel,
+        grid=(eg, n_strips),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((mp, k), jnp.bfloat16)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * eg * mp * n_total * k,
+            bytes_accessed=eg * (mp * k * 2 + n_total * k
+                                 + mp * n_total * 2),
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+    return [o[:, :m, :n] if o.shape[1:] != (m, n) else o
+            for o, n in zip(res, gw.sections)]
+
+
 def mixed_matmul(a, w, *,
                  out_dtype=_BF16,
                  bm: Optional[int] = None,

@@ -283,12 +283,60 @@ def stack_layer_projections(params: Dict[str, Any],
                 [p[n].bias for n in ("gate", "up")])
             for n in ("gate", "up"):
                 del q[n]
+        experts = p.get("experts")
+        if experts and all(
+                stackable(ep, ("w1", "w2", "w3"), "site_in")
+                for ep in experts) and len({
+                    (ep["site_in"].splits, ep["site_down"].splits)
+                    for ep in experts}) == 1:
+            q["experts_grouped"] = _group_experts(experts)
+            del q["experts"]
         memo[key] = q
         return q
 
     out = dict(params)
     out["layers"] = [one(p) for p in params["layers"]]
     return out
+
+
+def _group_experts(experts: List[Dict[str, Any]]) -> Dict[str, Any]:
+    """[per-expert quantized dicts] -> the grouped-GEMM serving form.
+
+    Stacks every expert's w1|w3 (and w2) ScaledW8 codes into GroupedW8
+    containers (mx/scaledw8.py) and the per-expert site routes into
+    (E, K) arrays, so moe_block's grouped branch runs the whole expert
+    loop as TWO block-diagonal Pallas calls
+    (kernels/mixed_matmul.mixed_matmul_w8_grouped)."""
+    import jax.numpy as jnp
+
+    from ..mx.scaledw8 import group_scaled_w8
+
+    def stackw(name):
+        ws = [ep[name].w for ep in experts]
+        base = jax.tree.map(lambda *xs: jnp.stack(xs), *ws)
+        return base
+
+    def stackb(name):
+        bs = [ep[name].bias for ep in experts]
+        if all(b is None for b in bs):
+            return None
+        assert all(b is not None for b in bs)
+        return jnp.stack(bs)
+
+    sites = [ep["site_in"] for ep in experts]
+    benes = (jnp.stack([s.benes for s in sites])
+             if all(s.benes is not None for s in sites) else None)
+    perm = (jnp.stack([s.perm for s in sites])
+            if all(s.perm is not None for s in sites) else None)
+    return {
+        "w13": group_scaled_w8([stackw("w1"), stackw("w3")],
+                               [stackb("w1"), stackb("w3")]),
+        "w2": group_scaled_w8([stackw("w2")], [stackb("w2")]),
+        "benes": benes,
+        "perm": perm,
+        "site_in": QuantSite(*sites[0].splits),
+        "site_down": QuantSite(*experts[0]["site_down"].splits),
+    }
 
 
 def quantize_model(params: Dict[str, Any], cfg: ModelConfig,

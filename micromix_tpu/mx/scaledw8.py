@@ -336,6 +336,80 @@ def stack_scaled_w8(ws, biases=None) -> ScaledW8Stack:
         k4=segs[0], k6=segs[1], k8=segs[2])
 
 
+@dataclasses.dataclass(frozen=True)
+class GroupedW8:
+    """Per-GROUP stacked ScaledW8 weights: one (E, sum padded_i, K) code
+    array for E groups (MoE experts), each group's rows holding its own
+    consumers' sections (w1|w3, or w2 alone).  Feeds the grouped
+    block-diagonal kernel (kernels/mixed_matmul.mixed_matmul_w8_grouped).
+
+    codes: (E, sum padded_i, K) u8; bases: (E, n_sections) i32;
+    biases: tuple of per-section Optional (E, N_i) rows.
+    """
+
+    codes: jnp.ndarray
+    bases: jnp.ndarray
+    biases: Tuple
+    sections: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    padded: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    k4: int = dataclasses.field(default=0, metadata=dict(static=True))
+    k6: int = dataclasses.field(default=0, metadata=dict(static=True))
+    k8: int = dataclasses.field(default=0, metadata=dict(static=True))
+
+    @property
+    def k(self) -> int:
+        return self.codes.shape[2]
+
+    @property
+    def groups(self) -> int:
+        return self.codes.shape[0]
+
+    def segments(self) -> Tuple[int, int, int]:
+        return (self.k4, self.k6, self.k8)
+
+
+jax.tree_util.register_dataclass(
+    GroupedW8, data_fields=["codes", "bases", "biases"],
+    meta_fields=["sections", "padded", "k4", "k6", "k8"])
+
+
+def group_scaled_w8(stacked_ws, biases=None) -> GroupedW8:
+    """[stacked ScaledW8 with leading group dim, ...] -> GroupedW8.
+
+    ``stacked_ws``: each a ScaledW8 whose codes are (E, N_i, K) and base
+    (E, 1, 1) — the moe_ep.stack_hetero_experts representation.  One-time
+    device concat along the row axis (engine init, never per step).
+    """
+    ws = list(stacked_ws)
+    eg = ws[0].codes.shape[0]
+    k = ws[0].codes.shape[2]
+    segs = ws[0].segments()
+    for w in ws[1:]:
+        assert w.codes.shape[0] == eg and w.codes.shape[2] == k
+        assert w.segments() == segs
+    if biases is None:
+        biases = (None,) * len(ws)
+    ns = [w.codes.shape[1] for w in ws]
+    bn = 512
+    align = lambda n: (n + 127) // 128 * 128
+    while bn > 128 and any(align(n) % bn for n in ns):
+        bn //= 2
+    padded = tuple((n + bn - 1) // bn * bn for n in ns)
+    parts = []
+    for w, np_ in zip(ws, padded):
+        c = w.codes
+        if np_ != c.shape[1]:
+            c = jnp.pad(c, ((0, 0), (0, np_ - c.shape[1]), (0, 0)))
+        parts.append(c)
+    return GroupedW8(
+        codes=jnp.concatenate(parts, axis=1),
+        bases=jnp.concatenate(
+            [w.base.reshape(eg, 1) for w in ws], axis=1).astype(_I32),
+        biases=tuple(biases),
+        sections=tuple(ns), padded=padded,
+        k4=segs[0], k6=segs[1], k8=segs[2])
+
+
 def dequantize_stack(st: ScaledW8Stack, dtype=jnp.bfloat16) -> jnp.ndarray:
     """Whole-stack decode (rows in padded stacked order) — prefill path."""
     k0 = scaled_w8_k0(st.bases)                      # (n_sections,)
@@ -347,6 +421,8 @@ def dequantize_stack(st: ScaledW8Stack, dtype=jnp.bfloat16) -> jnp.ndarray:
 __all__ = [
     "ScaledW8",
     "ScaledW8Stack",
+    "GroupedW8",
+    "group_scaled_w8",
     "pack_scaled_w8",
     "pack_scaled_w8_host",
     "encode_scaled_values",

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import contextlib
 import dataclasses
+import os
 import time
 from typing import Any, Dict, List, Optional
 
@@ -115,13 +116,14 @@ class Engine:
                  spec_ngram: int = 0, spec_window: int = 256,
                  piggyback: bool = True, prefix_cache: bool = False,
                  pipeline: bool = True):
-        if step_fns is None:
+        if step_fns is None and not os.environ.get("MICROMIX_NO_STACK"):
             # single-chip runner path: stack each quantize site's ScaledW8
             # consumers (q/k/v, gate/up) so decode runs ONE multi-output
             # Pallas call per site and prefill one wide dot
             # (models/surgery.stack_layer_projections — a no-op for
             # split-plane / hetero / dense layers).  Sharded step_fns
             # build their own per-shard params and are left untouched.
+            # MICROMIX_NO_STACK=1 keeps the per-consumer calls (ablation).
             from ..models.surgery import stack_layer_projections
             memo: dict = {}
             params = stack_layer_projections(params, memo)

@@ -453,3 +453,112 @@ def test_stack_layer_projections_transform(rng):
     ref = forward(qp, cfg, toks)
     got = forward(sp, cfg, toks)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+# ---------------------------------------------------------------------------
+# Grouped (block-diagonal, per-expert) kernel (mixed_matmul_w8_grouped)
+# ---------------------------------------------------------------------------
+
+
+def _mk_grouped(rng, e, ns, k4, k6, k8):
+    from micromix_tpu.mx.scaledw8 import (
+        ScaledW8, group_scaled_w8, pack_scaled_w8)
+    k = k4 + k6 + k8
+    per_w = []
+    for n in ns:
+        ws = []
+        for _ in range(e):
+            wq = quantize_mixed(
+                jnp.asarray(rng.normal(0, 0.3, (n, k)).astype(np.float32)),
+                k4, k6, k8, weight_fp4_only=True, pack_fp4=True)
+            ws.append(pack_scaled_w8(wq))
+        stacked = ScaledW8(
+            codes=jnp.stack([w.codes for w in ws]),
+            base=jnp.stack([w.base for w in ws]),
+            k4=k4, k6=k6, k8=k8)
+        per_w.append((stacked, ws))
+    gw = group_scaled_w8([s for s, _ in per_w])
+    return gw, [ws for _, ws in per_w]
+
+
+@pytest.mark.parametrize("producer", ["plain", "silu"])
+def test_grouped_kernel_matches_per_group_calls(rng, producer):
+    """ONE grouped call == looping the fused site kernel per group,
+    exactly (each group has its own weights AND its own scale base)."""
+    from micromix_tpu.kernels.mixed_matmul import (
+        mixed_matmul_w8_grouped, mixed_matmul_w8_site)
+
+    e, k4, k6, k8 = 3, 256, 128, 128
+    k = k4 + k6 + k8
+    ns = [256, 128] if producer == "plain" else [256]
+    gw, per_w = _mk_grouped(rng, e, ns, k4, k6, k8)
+    x = jnp.asarray(rng.normal(0, 1, (e, 8, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    kw = {}
+    if producer == "silu":
+        kw["up"] = jnp.asarray(rng.normal(0, 1, (e, 8, k)).astype(
+            np.float32) / 4).astype(jnp.bfloat16)
+
+    got = mixed_matmul_w8_grouped(x, gw, producer=producer,
+                                  interpret=True, **kw)
+    assert [g.shape for g in got] == [(e, 8, n) for n in ns]
+    for si, (n, ws) in enumerate(zip(ns, per_w)):
+        for ei in range(e):
+            skw = {}
+            if producer == "silu":
+                skw = dict(producer="silu", up=kw["up"][ei])
+            want = mixed_matmul_w8_site(x[ei], ws[ei], interpret=True,
+                                        **skw)
+            np.testing.assert_array_equal(
+                np.asarray(got[si][ei], np.float32),
+                np.asarray(want, np.float32))
+
+
+def test_grouped_kernel_benes_matches_take(rng):
+    """Per-group Benes routes == per-group jnp.take, exactly."""
+    from micromix_tpu.kernels.mixed_matmul import mixed_matmul_w8_grouped
+    from micromix_tpu.mx.benes import benes_route, pack_masks
+
+    e, k4, k6, k8 = 2, 256, 128, 128
+    k = k4 + k6 + k8
+    gw, _ = _mk_grouped(rng, e, [256], k4, k6, k8)
+    perms = [rng.permutation(k).astype(np.int32) for _ in range(e)]
+    bits = jnp.stack([jnp.asarray(pack_masks(benes_route(p)[1]))
+                      for p in perms])
+    x = jnp.asarray(rng.normal(0, 1, (e, 4, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    got = mixed_matmul_w8_grouped(x, gw, benes=bits, interpret=True)
+    xp = jnp.stack([jnp.take(x[i], jnp.asarray(perms[i]), axis=1)
+                    for i in range(e)])
+    ref = mixed_matmul_w8_grouped(xp, gw, interpret=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(r, np.float32))
+
+
+@pytest.mark.parametrize("capacity", [None, 2.0])
+def test_moe_grouped_matches_expert_loop(rng, capacity):
+    """moe_block with experts_grouped == the per-expert loop (CPU XLA
+    fallback; combine/f32 order may differ -> tight tolerance)."""
+    import dataclasses
+
+    from micromix_tpu.models import (
+        ModelConfig, default_calibration, quantize_model,
+        random_dense_params)
+    from micromix_tpu.models.surgery import stack_layer_projections
+    from micromix_tpu.models.transformer import forward
+
+    cfg = ModelConfig(arch="mixtral", vocab_size=64, hidden_size=128,
+                      intermediate_size=256, num_layers=1, num_heads=2,
+                      num_kv_heads=1, head_dim=64, rope_theta=1e4,
+                      rms_eps=1e-6, num_experts=4, num_experts_per_tok=2,
+                      moe_capacity_factor=capacity)
+    dense = random_dense_params(cfg, seed=3)
+    qp = quantize_model(dense, cfg, default_calibration(cfg, 32, 32))
+    sp = stack_layer_projections(qp)
+    assert "experts_grouped" in sp["layers"][0]
+    assert "experts" not in sp["layers"][0]
+    toks = jnp.asarray(rng.integers(0, 64, (1, 8)).astype(np.int32))
+    ref = np.asarray(forward(qp, cfg, toks))
+    got = np.asarray(forward(sp, cfg, toks))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
