@@ -436,6 +436,14 @@ def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
                                      *site.splits, eps=rms_eps)
         else:
             qx = reorder_fakequant_x(x, site.perm, *site.splits)
+    elif _sp_fusable(linears):
+        # split-plane decode path (capacity-first layout): single-consumer
+        # sites (o_proj) wrap inline into a no-copy SplitPlaneStack so the
+        # fused SP site kernel runs — the ScaledW8 glue, capacity layout
+        # (multi-consumer SP sites get engine-built stacks instead)
+        from ..mx.mxtensor import stack_split_plane
+        st = stack_split_plane([linears[0].w], [linears[0].bias])
+        return _project_stack(x, site, st, norm_gamma, rms_eps, lead)
     elif norm_gamma is not None:
         qx = rmsnorm_quantize_x(x, norm_gamma, site.perm, *site.splits,
                                 eps=rms_eps)
@@ -448,16 +456,29 @@ def project_all(x: jnp.ndarray, site: Optional[QuantSite], linears,
     return outs
 
 
+def _sp_fusable(linears) -> bool:
+    """True when a single split-plane consumer can wrap into a no-copy
+    SplitPlaneStack (rows already 128-aligned, fp4 plane-packed)."""
+    from ..mx.mxtensor import MixedTensor
+    if len(linears) != 1 or not isinstance(linears[0].w, MixedTensor):
+        return False
+    w = linears[0].w
+    return (w.fp4_packed or w.k4 == 0) and w.rows % 128 == 0
+
+
 def _project_stack(x, site, stack, norm_gamma, rms_eps, lead):
-    """project_all's ScaledW8Stack leg: one multi-output call at decode M,
-    one dequant + wide dot at prefill M.  Values match the per-linear
-    ScaledW8 path bit-for-bit (same site image, same decode, same f32
-    accumulation per consumer)."""
-    from ..kernels.mixed_matmul import mixed_matmul_w8_stack
+    """project_all's stacked-weights leg (ScaledW8Stack or
+    SplitPlaneStack): one multi-output call at decode M, one dequant +
+    wide dot at prefill M.  Values match the per-linear path bit-for-bit
+    (same site image, same decode, same f32 accumulation per consumer)."""
+    from ..kernels.mixed_matmul import (
+        mixed_matmul_sp_stack, mixed_matmul_w8_stack)
+    from ..mx.mxtensor import SplitPlaneStack, dequantize_mixed_device
     from ..mx.scaledw8 import dequantize_stack
     from ..ops.quantize_ops import (
         _use_site_kernel, reorder_fakequant_x, rmsnorm_fakequant_x)
     assert stack.segments() == site.splits, (stack.segments(), site.splits)
+    split_plane = isinstance(stack, SplitPlaneStack)
     x2d = x.reshape(-1, x.shape[-1])
     if FUSE_SITE_GEMM and _use_site_kernel(x2d):
         kw = {}
@@ -474,14 +495,16 @@ def _project_stack(x, site, stack, norm_gamma, rms_eps, lead):
                     and "benes" not in kw):
                 g32 = jnp.take(g32, site.perm, axis=0)
             kw.update(producer="rms", gamma=g32, eps=rms_eps)
-        outs = mixed_matmul_w8_stack(xg, stack, **kw)
+        fn = mixed_matmul_sp_stack if split_plane else mixed_matmul_w8_stack
+        outs = fn(xg, stack, **kw)
     else:
         if norm_gamma is not None:
             qx = rmsnorm_fakequant_x(x2d, norm_gamma, site.perm,
                                      *site.splits, eps=rms_eps)
         else:
             qx = reorder_fakequant_x(x2d, site.perm, *site.splits)
-        wd = dequantize_stack(stack)
+        wd = (dequantize_mixed_device(stack.mt, jnp.bfloat16)
+              if split_plane else dequantize_stack(stack))
         y = jnp.dot(qx, wd.T, preferred_element_type=jnp.float32
                     ).astype(jnp.bfloat16)
         outs, off = [], 0

@@ -254,38 +254,48 @@ def stack_layer_projections(params: Dict[str, Any],
     through untouched.  MoE expert w1/w3 stacking is handled by the EP
     engine separately.
     """
+    from ..mx.mxtensor import MixedTensor, stack_split_plane
     from ..mx.scaledw8 import ScaledW8, stack_scaled_w8
     if memo is None:
         memo = {}
 
-    def stackable(p, names, site_key):
+    def builder_for(p, names, site_key):
         # the site must be a segmented QuantSite: the hetero budgets-as-
         # data path (models/hetero.py FakeQuantSite) also carries ScaledW8
         # weights but quantizes through a different, per-channel interface
-        return (isinstance(p.get(site_key), QuantSite)
-                and all(isinstance(p.get(n), QuantLinear)
-                        and isinstance(p[n].w, ScaledW8) for n in names))
+        if not isinstance(p.get(site_key), QuantSite):
+            return None
+        if not all(isinstance(p.get(n), QuantLinear) for n in names):
+            return None
+        ws = [p[n].w for n in names]
+        if all(isinstance(w, ScaledW8) for w in ws):
+            return stack_scaled_w8
+        if all(isinstance(w, MixedTensor) and (w.fp4_packed or w.k4 == 0)
+               for w in ws):
+            return stack_split_plane
+        return None
 
     def one(p):
         key = id(p)
         if key in memo:
             return memo[key]
         q = dict(p)
-        if stackable(p, ("q", "k", "v"), "attn_site"):
-            q["qkv_stack"] = stack_scaled_w8(
-                [p[n].w for n in ("q", "k", "v")],
-                [p[n].bias for n in ("q", "k", "v")])
+        mk = builder_for(p, ("q", "k", "v"), "attn_site")
+        if mk is not None:
+            q["qkv_stack"] = mk([p[n].w for n in ("q", "k", "v")],
+                                [p[n].bias for n in ("q", "k", "v")])
             for n in ("q", "k", "v"):
                 del q[n]
-        if stackable(p, ("gate", "up"), "mlp_site"):
-            q["gateup_stack"] = stack_scaled_w8(
-                [p[n].w for n in ("gate", "up")],
-                [p[n].bias for n in ("gate", "up")])
+        mk = builder_for(p, ("gate", "up"), "mlp_site")
+        if mk is not None:
+            q["gateup_stack"] = mk([p[n].w for n in ("gate", "up")],
+                                   [p[n].bias for n in ("gate", "up")])
             for n in ("gate", "up"):
                 del q[n]
         experts = p.get("experts")
         if experts and all(
-                stackable(ep, ("w1", "w2", "w3"), "site_in")
+                builder_for(ep, ("w1", "w2", "w3"), "site_in")
+                is stack_scaled_w8                     # grouped = W8-only
                 for ep in experts) and len({
                     (ep["site_in"].splits, ep["site_down"].splits)
                     for ep in experts}) == 1:

@@ -562,3 +562,108 @@ def test_moe_grouped_matches_expert_loop(rng, capacity):
     ref = np.asarray(forward(qp, cfg, toks))
     got = np.asarray(forward(sp, cfg, toks))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Split-plane fused-site multi-output kernel (mixed_matmul_sp_stack)
+# ---------------------------------------------------------------------------
+
+
+def _mk_sp_linears(rng, k4, k6, k8, ns):
+    from micromix_tpu.models.common import QuantLinear
+    k = k4 + k6 + k8
+    lins = []
+    for n in ns:
+        wq = quantize_mixed(
+            jnp.asarray(rng.normal(0, 0.3, (n, k)).astype(np.float32)),
+            k4, k6, k8, weight_fp4_only=True, pack_fp4=True)
+        lins.append(QuantLinear(w=wq))
+    return lins
+
+
+@pytest.mark.parametrize("producer", ["plain", "rms", "silu"])
+def test_sp_stack_kernel_matches_quantize_plus_matmul(rng, producer):
+    """One SP multi-output call == XLA site quantize + per-consumer
+    split-plane matmul, exactly (fakequant-direct equivalence)."""
+    from micromix_tpu.kernels.mixed_matmul import (
+        mixed_matmul, mixed_matmul_sp_stack)
+    from micromix_tpu.mx.mxtensor import stack_split_plane
+    from micromix_tpu.ops.quantize_ops import (
+        activation_quantize, rmsnorm_quantize_x, silu_mul_quantize_x)
+
+    k4, k6, k8 = 256, 128, 128
+    k = k4 + k6 + k8
+    ns = [256] if producer == "silu" else [256, 128]
+    lins = _mk_sp_linears(rng, k4, k6, k8, ns)
+    st = stack_split_plane([l.w for l in lins])
+    x = jnp.asarray(rng.normal(0, 1, (5, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    gamma = jnp.asarray(rng.normal(1, 0.1, (k,)).astype(np.float32))
+    up = jnp.asarray(rng.normal(0, 1, (5, k)).astype(np.float32) / 4
+                     ).astype(jnp.bfloat16)
+
+    kw, qx = {}, None
+    if producer == "rms":
+        kw = dict(producer="rms", gamma=gamma)
+        qx = rmsnorm_quantize_x(x, gamma, jnp.arange(k), k4, k6, k8)
+    elif producer == "silu":
+        kw = dict(producer="silu", up=up)
+        qx = silu_mul_quantize_x(x, up, k4, k6, k8)
+    else:
+        qx = activation_quantize(x, k4, k6, k8)
+    want = [mixed_matmul(qx, l.w, interpret=True) for l in lins]
+    got = mixed_matmul_sp_stack(x, st, interpret=True, **kw)
+    assert [g.shape for g in got] == [(5, n) for n in ns]
+    for g, r in zip(got, want):
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(r, np.float32))
+
+
+def test_sp_stack_benes_matches_take(rng):
+    from micromix_tpu.kernels.mixed_matmul import mixed_matmul_sp_stack
+    from micromix_tpu.mx.benes import benes_route, pack_masks
+    from micromix_tpu.mx.mxtensor import stack_split_plane
+
+    k4, k6, k8 = 256, 128, 128
+    k = k4 + k6 + k8
+    lins = _mk_sp_linears(rng, k4, k6, k8, [256, 128])
+    st = stack_split_plane([l.w for l in lins])
+    perm = rng.permutation(k).astype(np.int32)
+    bits = jnp.asarray(pack_masks(benes_route(perm)[1]))
+    x = jnp.asarray(rng.normal(0, 1, (4, k)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    gamma = jnp.asarray(rng.normal(1, 0.1, (k,)).astype(np.float32))
+    got = mixed_matmul_sp_stack(x, st, producer="rms", gamma=gamma,
+                                benes=bits, interpret=True)
+    ref = mixed_matmul_sp_stack(
+        jnp.take(x, jnp.asarray(perm), axis=1), st, producer="rms",
+        gamma=jnp.take(gamma, jnp.asarray(perm), axis=0), interpret=True)
+    for g, r in zip(got, ref):
+        np.testing.assert_array_equal(np.asarray(g, np.float32),
+                                      np.asarray(r, np.float32))
+
+
+def test_splitplane_model_stacking_forward_parity(rng):
+    """layout=splitplane model: stack_layer_projections swaps in
+    SplitPlaneStacks and the forward stays exact (CPU fallback branch)."""
+    from micromix_tpu.models import ModelConfig
+    from micromix_tpu.models.surgery import (
+        default_calibration, quantize_model, random_dense_params,
+        stack_layer_projections)
+    from micromix_tpu.models.transformer import forward
+    from micromix_tpu.mx.mxtensor import SplitPlaneStack
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=2,
+                      num_kv_heads=1, head_dim=128, rope_theta=1e4,
+                      rms_eps=1e-5)
+    dense = random_dense_params(cfg, seed=11)
+    qp = quantize_model(dense, cfg, default_calibration(cfg, 64, 64),
+                        layout="splitplane")
+    sp = stack_layer_projections(qp)
+    assert isinstance(sp["layers"][0]["qkv_stack"], SplitPlaneStack)
+    assert "q" not in sp["layers"][0]
+    toks = jnp.asarray(rng.integers(0, 64, (1, 8)).astype(np.int32))
+    ref = np.asarray(forward(qp, cfg, toks))
+    got = np.asarray(forward(sp, cfg, toks))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
