@@ -115,6 +115,9 @@ cfg = ModelConfig(arch="llama", vocab_size=32000, hidden_size=4096,
                   rope_theta=5e5, rms_eps=1e-5)
 B, CHUNK = 8, args.chunk
 params = build_quantized(cfg, 256, 256, share_layers=True)
+# probe the ENGINE's param form: stacked q/k/v + gate/up (r5)
+from micromix_tpu.models.surgery import stack_layer_projections
+params = stack_layer_projections(params)
 
 n_pages = B * 16 + 1
 caches = []

@@ -27,6 +27,9 @@ p6 = p8 = 256
 
 t0 = time.perf_counter()
 params = build_quantized(cfg, p6, p8, share_layers=True)
+# probe the ENGINE's param form: stacked q/k/v + gate/up (r5)
+from micromix_tpu.models.surgery import stack_layer_projections
+params = stack_layer_projections(params)
 print(f"build {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
 n_pages = B * 16 + 1

@@ -657,6 +657,260 @@ def mixed_matmul_w8_stack(x: jnp.ndarray, st, *,
             for o, n in zip(res, st.sections)]
 
 
+def _w8_pair_kernel(scale_ref, *refs, a_k4, a_k6, a_k8, b_k4, b_k6, b_k8,
+                    producer_a: str, eps: float, out_dtype, s_a: int,
+                    a_benes_dists, b_benes_dists, bounds, has_bias_a):
+    """Residual-PAIR body: two chained GEMM clusters in one grid.
+
+    Phase A (j < s_a): site_a(x_a) @ Wa^T strips accumulate into a
+    persistent f32 scratch (the attention o_proj, or the mlp down_proj).
+    At j == s_a the residual closes IN-KERNEL — h_mid = h_in + A (+bias)
+    — is written out once, and phase B's rmsnorm site quantizes it.
+    Phase B (j >= s_a): stack_b strips (gate|up, or the next layer's
+    q|k|v) dot against that image with multi-output ownership.
+
+    This removes one Pallas call AND the XLA residual-add/rmsnorm fusion
+    island per cluster pair: the decode layer drops from 4 GEMM-cluster
+    calls to 2.  refs = [x_a (, up_a) (, benes_a), h_in (, bias_a),
+    gamma_b (, benes_b), wa, wb, h_mid_out, out_0.., qxa, a_acc, qxb].
+    """
+    from .fakequant import fakequant_values, site_producer_values
+    n_a = 2 if producer_a == "silu" else 1
+    nba = 1 if a_benes_dists is not None else 0
+    nbb = 1 if b_benes_dists is not None else 0
+    i = 0
+    x_a = refs[i]; i += 1
+    up_a = refs[i] if producer_a == "silu" else None
+    i += (producer_a == "silu")
+    benes_a = refs[i] if nba else None
+    i += nba
+    h_in = refs[i]; i += 1
+    bias_a = refs[i] if has_bias_a else None
+    i += has_bias_a
+    gamma_b = refs[i]; i += 1
+    benes_b = refs[i] if nbb else None
+    i += nbb
+    wa_ref = refs[i]; i += 1
+    wb_ref = refs[i]; i += 1
+    hmid_ref = refs[i]; i += 1
+    n_out = len(bounds)
+    outs = refs[i:i + n_out]
+    qxa_scr, a_acc, qxb_scr = refs[-3], refs[-2], refs[-1]
+    j = pl.program_id(1)
+    bn_a = wa_ref.shape[0]
+
+    @pl.when(j == 0)
+    def _site_a():
+        x = x_a[:]
+        aux = up_a[:] if producer_a == "silu" else None
+        if benes_a is not None:
+            x = apply_benes(x.astype(_F32), benes_a[:], a_benes_dists)
+        y = site_producer_values(producer_a, x, aux, eps)
+        qxa_scr[:] = fakequant_values(y, a_k4, a_k6, a_k8)
+
+    def decode(ref, scale):
+        c = ref[:].astype(jnp.int32)
+        t = c & 0x7F
+        bits = (t << 22) | ((c & 0x80) << 24)
+        return (jax.lax.bitcast_convert_type(bits, _F32) * scale
+                ).astype(_BF16)
+
+    @pl.when(j < s_a)
+    def _phase_a():
+        wv = decode(wa_ref, scale_ref[j])
+        y = jax.lax.dot_general(
+            qxa_scr[:], wv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=_F32)
+        a_acc[:, pl.dslice(j * bn_a, bn_a)] = y
+
+    @pl.when(j == s_a)
+    def _boundary():
+        # round exactly where the unfused chain does: the A GEMM emits
+        # bf16, bias adds in bf16, the residual closes in bf16 — h_mid
+        # and the site-B input are bit-identical to the separate calls
+        a16 = a_acc[:].astype(out_dtype)
+        if bias_a is not None:
+            a16 = a16 + bias_a[:].astype(out_dtype)
+        h16 = h_in[:] + a16
+        hmid_ref[:] = h16
+        h = h16.astype(_F32)
+        g = gamma_b[:].astype(_F32)
+        if benes_b is not None:
+            packed = benes_b[:]
+            h = apply_benes(h, packed, b_benes_dists)
+            g = apply_benes(g, packed, b_benes_dists)
+        y = site_producer_values("rms", h, g, eps)
+        qxb_scr[:] = fakequant_values(y, b_k4, b_k6, b_k8)
+
+    @pl.when(j >= s_a)
+    def _phase_b():
+        wv = decode(wb_ref, scale_ref[j])
+        y = jax.lax.dot_general(
+            qxb_scr[:], wv,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=_F32,
+        ).astype(out_dtype)
+        for o_ref, (lo, hi) in zip(outs, bounds):
+            @pl.when(jnp.logical_and(j - s_a >= lo, j - s_a < hi))
+            def _write(o_ref=o_ref, y=y):
+                o_ref[:] = y
+
+
+def mixed_matmul_w8_pair(x_a: jnp.ndarray, h_in: jnp.ndarray, wa, stack_b,
+                         *, gamma_b: jnp.ndarray,
+                         producer_a: str = "plain",
+                         up_a: Optional[jnp.ndarray] = None,
+                         benes_a: Optional[jnp.ndarray] = None,
+                         bias_a: Optional[jnp.ndarray] = None,
+                         benes_b: Optional[jnp.ndarray] = None,
+                         eps: float = 1e-6,
+                         out_dtype=_BF16,
+                         interpret: Optional[bool] = None):
+    """(h_mid, [Y_b...]) = the residual-pair fusion:
+
+        A     = site_a(x_a[, up_a]) @ dq(Wa)^T          (o or down proj)
+        h_mid = h_in + A (+ bias_a)                      (residual close)
+        Y_b   = fq(rms(h_mid) * gamma_b) @ dq(W_b,i)^T   (stack_b consumers)
+
+    in ONE Pallas call.  ``wa`` is a single ScaledW8 with rows == K;
+    ``stack_b`` a ScaledW8Stack (q|k|v or gate|up).  h_mid is
+    bit-identical to the unfused chain (every bf16 rounding point
+    matches); the stack outputs match up to the rms row moment's f32
+    reduction order (the standing caveat of kernels/fakequant.py — the
+    fused residual add changes how XLA orders the mean, which can flip
+    an RNE tie onto the adjacent grid step in a handful of channels).
+    Decode-M only (M <= PALLAS_FAKEQUANT_MAX_M enforced by callers).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    m, k_a = x_a.shape
+    k = h_in.shape[1]
+    assert wa.k == k_a and wa.rows == k, (wa.k, k_a, wa.rows, k)
+    assert stack_b.k == k, (stack_b.k, k)
+    assert k % 512 == 0, "phase-A scratch writes need 512-aligned strips"
+    assert producer_a in ("plain", "silu")
+
+    bn_a = 512
+    bn_b = 512
+    while bn_b > 128 and any(p % bn_b for p in stack_b.padded):
+        bn_b //= 2
+    bm = min(256, _round_up(m, 32))
+    # VMEM model: phase-B dominates (same shape as the stack kernel) plus
+    # the extra (bm, k_a) qxa and (bm, k) f32 accumulator scratches
+    bm, _ = w8_tile_plan(m, max(stack_b.sections), max(k, k_a), site=True,
+                         producer="silu", n_out=len(stack_b.sections) + 1,
+                         bm=bm, bn=max(bn_a, bn_b))
+    mp = _round_up(m, bm)
+    x_p = _pad_rows(x_a, mp)
+    h_p = _pad_rows(h_in, mp)
+
+    s_a = k // bn_a
+    strips_b = [p // bn_b for p in stack_b.padded]
+    bounds, off = [], 0
+    for s in strips_b:
+        bounds.append((off, off + s))
+        off += s
+    n_strips = s_a + off
+
+    scale_a = jnp.broadcast_to(
+        nx.exp2i(wa.base.astype(jnp.int32) + 126).reshape(()), (s_a,))
+    sec_b = nx.exp2i(stack_b.bases.astype(jnp.int32) + 126)
+    scale_b = jnp.concatenate(
+        [jnp.broadcast_to(sec_b[i], (s,)) for i, s in enumerate(strips_b)])
+    scale = jnp.concatenate([scale_a, scale_b])
+
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bm, k_a), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [scale, x_p]
+    if producer_a == "silu":
+        assert up_a is not None and benes_a is None
+        in_specs.append(pl.BlockSpec((bm, k_a), lambda i, j: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(_pad_rows(up_a, mp))
+    a_dists = None
+    if benes_a is not None:
+        from ..mx.benes import benes_dists as _bd
+        a_dists = _bd(k_a)
+        in_specs.append(pl.BlockSpec((1, k_a), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(benes_a.reshape(1, k_a).astype(jnp.int32))
+    in_specs.append(pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(h_p)
+    if bias_a is not None:
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(bias_a.reshape(1, k).astype(jnp.float32))
+    in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                 memory_space=pltpu.VMEM))
+    operands.append(gamma_b.reshape(1, k).astype(jnp.float32))
+    b_dists = None
+    if benes_b is not None:
+        from ..mx.benes import benes_dists as _bd
+        b_dists = _bd(k)
+        in_specs.append(pl.BlockSpec((1, k), lambda i, j: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(benes_b.reshape(1, k).astype(jnp.int32))
+    in_specs.append(pl.BlockSpec(
+        (bn_a, k_a), lambda i, j: (jnp.clip(j, 0, k // bn_a - 1), 0),
+        memory_space=pltpu.VMEM))
+    operands.append(wa.codes)
+    sbt = sum(strips_b)
+    in_specs.append(pl.BlockSpec(
+        (bn_b, k), lambda i, j, sa=s_a, st=sbt: (jnp.clip(j - sa, 0,
+                                                          st - 1), 0),
+        memory_space=pltpu.VMEM))
+    operands.append(stack_b.codes)
+
+    out_specs = [pl.BlockSpec((bm, k), lambda i, j: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((mp, k), out_dtype)]
+    for (lo, hi), np_ in zip(bounds, stack_b.padded):
+        out_specs.append(pl.BlockSpec(
+            (bm, bn_b),
+            lambda i, j, sa=s_a, lo=lo, hi=hi: (
+                i, jnp.clip(j - sa - lo, 0, hi - lo - 1)),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((mp, np_), out_dtype))
+
+    kernel = functools.partial(
+        _w8_pair_kernel,
+        a_k4=wa.k4, a_k6=wa.k6, a_k8=wa.k8,
+        b_k4=stack_b.k4, b_k6=stack_b.k6, b_k8=stack_b.k8,
+        producer_a=producer_a, eps=eps, out_dtype=out_dtype, s_a=s_a,
+        a_benes_dists=a_dists, b_benes_dists=b_dists,
+        bounds=tuple(bounds), has_bias_a=bias_a is not None)
+    n_total = sum(stack_b.padded)
+    res = pl.pallas_call(
+        kernel,
+        grid=(mp // bm, n_strips),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((bm, k_a), jnp.bfloat16),   # qx_a
+            pltpu.VMEM((bm, k), jnp.float32),      # A accumulator
+            pltpu.VMEM((bm, k), jnp.bfloat16),     # qx_b
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * (k * k_a + n_total * k),
+            bytes_accessed=mp * (k_a + k) * 2 + k * k_a + n_total * k
+            + mp * n_total * 2,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_SCOPED_VMEM_LIMIT),
+        interpret=interpret,
+    )(*operands)
+    hmid = res[0][:m] if mp != m else res[0]
+    outs = [o[:m, :n] if o.shape != (m, n) else o
+            for o, n in zip(res[1:], stack_b.sections)]
+    return hmid, outs
+
+
 def _sp_stack_kernel(*refs, k4: int, k6: int, k8: int, w_fp4_only: bool,
                      producer: str, eps: float, out_dtype,
                      benes_dists, bounds):

@@ -180,10 +180,89 @@ def prefill_batch(params: Params, cfg: ModelConfig, caches: Caches,
     return logits, new_caches
 
 
+def _can_pair(params: Params, cfg: ModelConfig, b: int) -> bool:
+    """Static (trace-time) gate for the residual-pair decode path: every
+    layer must carry ScaledW8 stacks + Benes-routable rms sites, the o
+    and down projections ScaledW8, dense (non-MoE) architecture, decode-
+    size batch, a TPU backend, and no MICROMIX_NO_PAIR ablation."""
+    import os
+
+    from ..kernels.fakequant import PALLAS_FAKEQUANT_MAX_M
+    from ..mx.scaledw8 import ScaledW8, ScaledW8Stack
+    if (cfg.is_moe or b > PALLAS_FAKEQUANT_MAX_M
+            or jax.default_backend() == "cpu"
+            or os.environ.get("MICROMIX_NO_PAIR")):
+        return False
+
+    def routable(site):
+        return site is not None and (site.perm is None
+                                     or site.benes is not None)
+
+    for p in params["layers"]:
+        if not (isinstance(p.get("qkv_stack"), ScaledW8Stack)
+                and isinstance(p.get("gateup_stack"), ScaledW8Stack)
+                and isinstance(p.get("o"), QuantLinear)
+                and isinstance(p["o"].w, ScaledW8)
+                and isinstance(p.get("down"), QuantLinear)
+                and isinstance(p["down"].w, ScaledW8)
+                and routable(p.get("attn_site"))
+                and routable(p.get("mlp_site"))
+                and routable(p.get("o_site"))
+                and p["down_site"].perm is None
+                and cfg.hidden_size % 512 == 0):
+            return False
+    return True
+
+
+def _pair_o_gateup(out2d, h2d, p, cfg):
+    """o_proj + residual + rms + gate/up in ONE call (h_mid, gate, up)."""
+    from ..kernels.mixed_matmul import mixed_matmul_w8_pair
+    site_o = p["o_site"]
+    kw = {}
+    if site_o.benes is not None:
+        kw["benes_a"] = site_o.benes
+    elif site_o.perm is not None:
+        out2d = jnp.take(out2d, site_o.perm, axis=1)
+    msite = p["mlp_site"]
+    hm, (gate, up) = mixed_matmul_w8_pair(
+        out2d, h2d, p["o"].w, p["gateup_stack"],
+        gamma_b=p["ln2"].astype(jnp.float32), producer_a="plain",
+        bias_a=p["o"].bias, benes_b=msite.benes, eps=cfg.rms_eps, **kw)
+    bg, bu = p["gateup_stack"].biases
+    if bg is not None:
+        gate = gate + bg
+    if bu is not None:
+        up = up + bu
+    return hm, gate, up
+
+
+def _pair_down_qkv(gate, up, h2d, p, pn, cfg):
+    """down_proj + residual + next layer's rms + q/k/v in ONE call."""
+    from ..kernels.mixed_matmul import mixed_matmul_w8_pair
+    hm, outs = mixed_matmul_w8_pair(
+        gate, h2d, p["down"].w, pn["qkv_stack"],
+        gamma_b=pn["ln1"].astype(jnp.float32), producer_a="silu",
+        up_a=up, bias_a=p["down"].bias,
+        benes_b=pn["attn_site"].benes, eps=cfg.rms_eps)
+    outs = [o if bi is None else o + bi
+            for o, bi in zip(outs, pn["qkv_stack"].biases)]
+    return hm, outs
+
+
 def decode_step(params: Params, cfg: ModelConfig, caches: Caches,
                 tokens: jnp.ndarray, seq_ids: jnp.ndarray,
                 positions: jnp.ndarray) -> Tuple[jnp.ndarray, Caches]:
-    """tokens (B,) -> (logits (B, V), updated caches).  One step, B slots."""
+    """tokens (B,) -> (logits (B, V), updated caches).  One step, B slots.
+
+    When the engine's stacked ScaledW8 form allows it (_can_pair), the
+    per-layer GEMM clusters run as residual-PAIR kernels — (o + residual
+    + rms + gate|up) and (down + residual + next rms + q|k|v), 2 Pallas
+    calls per layer instead of 4 — eliminating the per-call ramps and
+    the XLA residual/rmsnorm fusion islands between them
+    (kernels/mixed_matmul.mixed_matmul_w8_pair; the reference's analog
+    launch amortization is its beta-chained GEMM sequence,
+    mgemm/src/gemm.cu:26-78).
+    """
     from ..models.common import rope_inv_freq
     b = tokens.shape[0]
     h = jnp.take(params["embed"], tokens, axis=0)[:, None, :].astype(
@@ -192,7 +271,38 @@ def decode_step(params: Params, cfg: ModelConfig, caches: Caches,
     sin = jnp.sin(_rope_angles(positions, cfg))
     inv = rope_inv_freq(cfg.head_dim, cfg.rope_theta, cfg.rope_scaling)
     new_caches = []
-    for p, cache in zip(params["layers"], caches):
+    layers = params["layers"]
+    if _can_pair(params, cfg, b):
+        hd, nh, nkv = cfg.head_dim, cfg.num_heads, cfg.num_kv_heads
+        h2d = h[:, 0]
+        q3, k3, v3 = _qkv(h, layers[0], cfg)
+        q2, k2, v2 = q3[:, 0], k3[:, 0], v3[:, 0]
+        for li, (p, cache) in enumerate(zip(layers, caches)):
+            kr = _rope1(k2, cos, sin)
+            cache = append_kv(cache, seq_ids, positions, kr, v2,
+                              distinct_pages=True)
+            new_caches.append(cache)
+            out = paged_decode_attention(q2, cache, seq_ids,
+                                         sliding_window=cfg.sliding_window,
+                                         rope_positions=positions,
+                                         rope_inv_freq=inv)
+            out2d = out.reshape(b, nh * hd)
+            h2d, gate, up = _pair_o_gateup(out2d, h2d, p, cfg)
+            if li + 1 < len(layers):
+                h2d, (qf, kf, vf) = _pair_down_qkv(gate, up, h2d, p,
+                                                   layers[li + 1], cfg)
+                q2 = qf.reshape(b, nh, hd)
+                k2 = kf.reshape(b, nkv, hd)
+                v2 = vf.reshape(b, nkv, hd)
+            else:
+                from ..models.transformer import _down_proj_q
+                h2d = h2d + _down_proj_q(gate, up, p["down_site"],
+                                         p["down"])
+        h = rmsnorm(h2d, params["final_ln"], cfg.rms_eps)
+        logits = jnp.dot(h, params["lm_head"].T.astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+        return logits, new_caches
+    for p, cache in zip(layers, caches):
         q, k, v = _qkv(h, p, cfg)                       # (B,1,H,D)
         # k is rotated here (the cache stores post-RoPE K); q's rotation is
         # FUSED into the decode kernel (decode.cuh:40-104 parity) — and

@@ -667,3 +667,129 @@ def test_splitplane_model_stacking_forward_parity(rng):
     ref = np.asarray(forward(qp, cfg, toks))
     got = np.asarray(forward(sp, cfg, toks))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Residual-pair kernel (mixed_matmul_w8_pair)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("case", ["o_gateup", "down_qkv"])
+def test_pair_kernel_matches_unfused_chain(rng, case):
+    """ONE pair call == site_a GEMM + bf16 residual close + stacked
+    rms-site GEMMs.  h_mid is exact; the stacked outputs carry the rms
+    row-moment reduction-order caveat (kernels/fakequant.py) — a flipped
+    RNE tie moves a channel one grid step, so outputs compare with the
+    same tolerance the project_all rms tests use, plus a cap on how many
+    activation channels may sit on a tie."""
+    from micromix_tpu.kernels.fakequant import fakequant_site_pallas
+    from micromix_tpu.kernels.mixed_matmul import (
+        mixed_matmul_w8, mixed_matmul_w8_pair, mixed_matmul_w8_stack)
+    from micromix_tpu.mx.benes import benes_route, pack_masks
+    from micromix_tpu.mx.scaledw8 import pack_scaled_w8, stack_scaled_w8
+
+    k = 512              # the residual width (H)
+    k_a = 512 if case == "o_gateup" else 1024   # Wa's contraction width
+    k4a, k6a, k8a = k_a - 256, 128, 128
+    k4b, k6b, k8b = 256, 128, 128
+    m = 5
+
+    def mk_w(n, kk, k4, k6, k8):
+        wq = quantize_mixed(
+            jnp.asarray(rng.normal(0, 0.3, (n, kk)).astype(np.float32)),
+            k4, k6, k8, weight_fp4_only=True, pack_fp4=True)
+        return pack_scaled_w8(wq)
+
+    wa = mk_w(k, k_a, k4a, k6a, k8a)
+    ws_b = [mk_w(n, k, k4b, k6b, k8b) for n in ((384, 128)
+            if case == "down_qkv" else (256, 256))]
+    st_b = stack_scaled_w8(ws_b)
+    x_a = jnp.asarray(rng.normal(0, 1, (m, k_a)).astype(np.float32)
+                      ).astype(jnp.bfloat16)
+    h_in = jnp.asarray(rng.normal(0, 1, (m, k)).astype(np.float32)
+                       ).astype(jnp.bfloat16)
+    gamma = jnp.asarray(rng.normal(1, 0.1, (k,)).astype(np.float32))
+    bias_a = jnp.asarray(rng.normal(0, 0.1, (k,)).astype(np.float32)
+                         ).astype(jnp.bfloat16)
+    perm_b = rng.permutation(k).astype(np.int32)
+    bits_b = jnp.asarray(pack_masks(benes_route(perm_b)[1]))
+
+    kw = dict(gamma_b=gamma, benes_b=bits_b, bias_a=bias_a)
+    ref_kw = {}
+    if case == "o_gateup":
+        perm_a = rng.permutation(k_a).astype(np.int32)
+        bits_a = jnp.asarray(pack_masks(benes_route(perm_a)[1]))
+        kw.update(producer_a="plain", benes_a=bits_a)
+        qxa = fakequant_site_pallas(
+            jnp.take(x_a, jnp.asarray(perm_a), axis=1),
+            k4a, k6a, k8a, interpret=True)
+    else:
+        up = jnp.asarray(rng.normal(0, 1, (m, k_a)).astype(np.float32) / 4
+                         ).astype(jnp.bfloat16)
+        kw.update(producer_a="silu", up_a=up)
+        qxa = fakequant_site_pallas(x_a, k4a, k6a, k8a, producer="silu",
+                                    up=up, interpret=True)
+
+    # unfused reference chain
+    a16 = mixed_matmul_w8(qxa, wa, interpret=True) + bias_a
+    h_mid = h_in + a16
+    outs_ref = mixed_matmul_w8_stack(h_mid, st_b, producer="rms",
+                                     gamma=gamma, benes=bits_b,
+                                     interpret=True)
+
+    hm, outs = mixed_matmul_w8_pair(x_a, h_in, wa, st_b, interpret=True,
+                                    **kw)
+    np.testing.assert_array_equal(np.asarray(hm, np.float32),
+                                  np.asarray(h_mid, np.float32))
+    # outputs: a flipped RNE tie moves a channel one grid step (~0.5-1.5
+    # scaled), which a 512-wide dot smears into O(|w|*step) per element —
+    # bound by the quantizer's own noise band, and require the bulk of
+    # elements bit-exact (interpret-mode lax.rsqrt precision differs per
+    # fusion context; on-chip both paths share the VPU rsqrt)
+    for g, r in zip(outs, outs_ref):
+        ga, ra = np.asarray(g, np.float32), np.asarray(r, np.float32)
+        np.testing.assert_allclose(ga, ra, rtol=0.05, atol=1.0)
+        assert np.median(np.abs(ga - ra)) <= 0.25
+
+
+def test_decode_step_paired_matches_unfused(rng, monkeypatch):
+    """The residual-pair decode path == the per-cluster path at the
+    logits level (rms reduction-order caveat -> tolerance), and the KV
+    appended for layer 0 is bit-identical."""
+    import micromix_tpu.serve.runner as R
+    from micromix_tpu.models import (
+        ModelConfig, default_calibration, quantize_model,
+        random_dense_params)
+    from micromix_tpu.models.surgery import stack_layer_projections
+    from micromix_tpu.serve.kv_cache import make_cache
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=512,
+                      intermediate_size=1024, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=128, rope_theta=1e4,
+                      rms_eps=1e-5)
+    dense = random_dense_params(cfg, seed=21)
+    qp = stack_layer_projections(
+        quantize_model(dense, cfg, default_calibration(cfg, 128, 128)))
+    b = 2
+
+    def mk_caches():
+        return [make_cache(8, 128, cfg.num_kv_heads, cfg.head_dim, b + 1,
+                           4, bits=8) for _ in range(cfg.num_layers)]
+
+    toks = jnp.asarray(rng.integers(0, 64, (b,)).astype(np.int32))
+    seq_ids = jnp.arange(b, dtype=jnp.int32)
+    pos = jnp.zeros((b,), jnp.int32)
+
+    ref_logits, ref_caches = R.decode_step(qp, cfg, mk_caches(), toks,
+                                           seq_ids, pos)
+    assert R._can_pair(qp, cfg, b) is False  # CPU gates off by default
+    monkeypatch.setattr(R, "_can_pair", lambda *a: True)
+    got_logits, got_caches = R.decode_step(qp, cfg, mk_caches(), toks,
+                                           seq_ids, pos)
+    ga, ra = np.asarray(got_logits), np.asarray(ref_logits)
+    assert ga.shape == ra.shape
+    np.testing.assert_allclose(ga, ra, rtol=0.1, atol=1.0)
+    assert np.median(np.abs(ga - ra)) < 0.1
+    # layer-0 KV comes from the same stacked qkv call in both paths
+    np.testing.assert_array_equal(np.asarray(got_caches[0].k_codes),
+                                  np.asarray(ref_caches[0].k_codes))
