@@ -70,8 +70,110 @@ def validate() -> None:
         exact = float((got == ref).mean())
         ok = ok and rel.max() < 1e-2
         print(f"{tag}: max rel diff {rel.max():.3e}, exact-match {exact:.1%}")
+    ok = _validate_r5_kernels(rng) and ok
     print("GEMM VAL PASS!" if ok else "GEMM VAL FAIL!")
     sys.exit(0 if ok else 1)
+
+
+def _validate_r5_kernels(rng) -> bool:
+    """On-chip exactness of the r5 kernel family: the multi-output stack
+    (q|k|v one call), the split-plane stack, the grouped MoE kernel, and
+    the residual-pair kernel — each vs its per-consumer reference on the
+    SAME quantized operands (the interpret-mode suite re-run on Mosaic,
+    which CPU interpret cannot vouch for)."""
+    from micromix_tpu.kernels.fakequant import fakequant_site_pallas
+    from micromix_tpu.kernels.mixed_matmul import (
+        mixed_matmul, mixed_matmul_sp_stack, mixed_matmul_w8,
+        mixed_matmul_w8_grouped, mixed_matmul_w8_pair,
+        mixed_matmul_w8_site, mixed_matmul_w8_stack)
+    from micromix_tpu.mx.mxtensor import quantize_mixed, stack_split_plane
+    from micromix_tpu.mx.scaledw8 import (
+        ScaledW8, group_scaled_w8, pack_scaled_w8, stack_scaled_w8)
+    from micromix_tpu.ops.quantize_ops import rmsnorm_quantize_x
+
+    k4, k6, k8 = K4 // 2, K6, K8
+    k = k4 + k6 + k8
+    x = jnp.asarray(np.random.default_rng(7).normal(
+        0, 1, (M, k)).astype(np.float32)).astype(jnp.bfloat16)
+    gamma = jnp.asarray(np.random.default_rng(8).normal(
+        1, 0.1, (k,)).astype(np.float32))
+
+    seed = iter(range(100, 200))
+
+    def mk_w(n):
+        w = np.random.default_rng(next(seed)).normal(
+            0, 0.3, (n, k)).astype(np.float32)
+        return quantize_mixed(jnp.asarray(w), k4, k6, k8,
+                              weight_fp4_only=True, pack_fp4=True)
+
+    ok = True
+
+    def check(tag, got, want, exact=True):
+        nonlocal ok
+        g = np.asarray(got, np.float32)
+        r = np.asarray(want, np.float32)
+        if exact:
+            good = np.array_equal(g, r)
+        else:
+            good = np.allclose(g, r, rtol=0.05, atol=1.0) and \
+                np.median(np.abs(g - r)) <= 0.25
+        ok = ok and good
+        print(f"{tag}: {'EXACT' if exact else 'tol'}-match "
+              f"{'OK' if good else 'FAIL'}")
+
+    # 1. multi-output ScaledW8 stack (qkv shape ratios, scaled down)
+    ws = [pack_scaled_w8(mk_w(n)) for n in (1024, 256, 256)]
+    st = stack_scaled_w8(ws)
+    y0, qx = jax.jit(lambda x: mixed_matmul_w8_site(
+        x, ws[0], producer="rms", gamma=gamma, emit_qx=True))(x)
+    want = [y0] + [jax.jit(lambda qx, w=w: mixed_matmul_w8(qx, w))(qx)
+                   for w in ws[1:]]
+    got = jax.jit(lambda x: mixed_matmul_w8_stack(
+        x, st, producer="rms", gamma=gamma))(x)
+    for i, (g, r) in enumerate(zip(got, want)):
+        check(f"w8_stack[{i}]", g, r)
+
+    # 2. split-plane stack vs XLA quantize + per-consumer matmul
+    sps = [mk_w(n) for n in (1024, 256)]
+    sp = stack_split_plane(sps)
+    qxm = rmsnorm_quantize_x(x, gamma, jnp.arange(k), k4, k6, k8)
+    want = [jax.jit(lambda q, w=w: mixed_matmul(q, w))(qxm) for w in sps]
+    got = jax.jit(lambda x: mixed_matmul_sp_stack(
+        x, sp, producer="rms", gamma=gamma))(x)
+    for i, (g, r) in enumerate(zip(got, want)):
+        check(f"sp_stack[{i}]", g, r)
+
+    # 3. grouped (per-expert) kernel vs looped site kernel
+    eg = 2
+    per = [[pack_scaled_w8(mk_w(256)) for _ in range(eg)],
+           [pack_scaled_w8(mk_w(256)) for _ in range(eg)]]
+    gw = group_scaled_w8([
+        ScaledW8(codes=jnp.stack([w.codes for w in ws_]),
+                 base=jnp.stack([w.base for w in ws_]),
+                 k4=k4, k6=k6, k8=k8) for ws_ in per])
+    xg = jnp.stack([x[:8], x[8:16]])
+    got = jax.jit(lambda xg: mixed_matmul_w8_grouped(xg, gw))(xg)
+    for si in range(2):
+        for e in range(eg):
+            want = jax.jit(lambda xe, w=per[si][e]:
+                           mixed_matmul_w8_site(xe, w))(xg[e])
+            check(f"grouped[{si},{e}]", got[si][e], want)
+
+    # 4. residual pair: h_mid exact, outputs tolerance (rms caveat)
+    wa = pack_scaled_w8(mk_w(k))
+    h_in = jnp.asarray(np.random.default_rng(9).normal(
+        0, 1, (M, k)).astype(np.float32)).astype(jnp.bfloat16)
+    qxa = fakequant_site_pallas(x, k4, k6, k8)
+    a16 = jax.jit(lambda q: mixed_matmul_w8(q, wa))(qxa)
+    h_mid = h_in + a16
+    want = jax.jit(lambda h: mixed_matmul_w8_stack(
+        h, st, producer="rms", gamma=gamma))(h_mid)
+    hm, outs = jax.jit(lambda x, h: mixed_matmul_w8_pair(
+        x, h, wa, st, gamma_b=gamma))(x, h_in)
+    check("pair h_mid", hm, h_mid)
+    for i, (g, r) in enumerate(zip(outs, want)):
+        check(f"pair[{i}]", g, r, exact=False)
+    return ok
 
 
 def serving_lines() -> None:
