@@ -685,3 +685,42 @@ def test_pipelined_decode_cancel_midflight(rng):
     assert len(reqs[1].output) == 20
     # cancelled request stopped early
     assert len(reqs[0].output) < 20
+
+
+def test_engine_stacking_preserves_generations_qwen2(rng, monkeypatch):
+    """The engine-init stacking transform (q/k/v + gate/up stacks incl.
+    Qwen2 qkv BIASES) must not change greedy generations vs the
+    per-linear param form (MICROMIX_NO_STACK ablation path)."""
+    import os
+
+    from micromix_tpu.models import (
+        ModelConfig, default_calibration, quantize_model,
+        random_dense_params)
+
+    cfg = ModelConfig(arch="qwen2", vocab_size=128, hidden_size=256,
+                      intermediate_size=512, num_layers=2, num_heads=2,
+                      num_kv_heads=1, head_dim=128, rope_theta=1e4,
+                      rms_eps=1e-6, qkv_bias=True)
+    qp = quantize_model(random_dense_params(cfg, seed=17), cfg,
+                        default_calibration(cfg, 64, 64))
+    assert qp["layers"][0]["q"].bias is not None  # qwen2 ships qkv biases
+
+    def run(env):
+        for k, v in env.items():
+            monkeypatch.setenv(k, v)
+        rr = np.random.default_rng(9)
+        eng = Engine(qp, cfg, max_seqs=2, page_size=16,
+                     max_pages_per_seq=8, prefill_buckets=(16,),
+                     decode_chunk=2)
+        reqs = [Request(req_id=i,
+                        prompt=list(rr.integers(0, 128, 6 + i)),
+                        max_new_tokens=6) for i in range(2)]
+        eng.run(reqs)
+        for k in env:
+            monkeypatch.delenv(k)
+        return [r.output for r in reqs]
+
+    stacked = run({})
+    assert "qkv_stack" not in qp["layers"][0]  # input pytree untouched
+    unstacked = run({"MICROMIX_NO_STACK": "1"})
+    assert stacked == unstacked
