@@ -40,19 +40,38 @@ def stack_layer_experts(layer: Params) -> Params:
     """One quantized Mixtral layer dict -> stacked-experts form.
 
     Stacks EVERY leaf of the per-expert dicts along a new leading dim via
-    moe_ep.stack_hetero_experts (the generic whole-pytree stacker).  The
-    result feeds moe_block's ``experts_stacked`` branch under shard_map.
+    moe_ep.stack_hetero_experts (the generic whole-pytree stacker).
     Uniform per-expert budgets are required (QuantSite static splits are
     part of the treedef) — checked here for a clear error.
+
+    When the experts are the canonical ScaledW8/QuantSite form, the
+    layer instead carries the GROUPED form (surgery._group_experts):
+    each shard's local experts run as TWO block-diagonal Pallas calls
+    (moe_block's ``experts_grouped_ep`` branch) instead of an E_local x 3
+    per-expert call loop — the EP twin of the single-chip grouped path.
+    Hetero budgets-as-data experts keep the stacked-loop form.
     """
+    from ..models.common import QuantLinear, QuantSite
+    from ..mx.scaledw8 import ScaledW8
     from .moe_ep import stack_hetero_experts
 
-    sites = [ep["site_in"] for ep in layer["experts"]]
+    experts = layer["experts"]
+    sites = [ep.get("site_in") for ep in experts]
+    out = {k: v for k, v in layer.items() if k != "experts"}
+    if all(isinstance(s, QuantSite) for s in sites) and all(
+            isinstance(ep.get(n), QuantLinear)
+            and isinstance(ep[n].w, ScaledW8)
+            for ep in experts for n in ("w1", "w2", "w3")):
+        assert all(s.splits == sites[0].splits for s in sites), \
+            "uniform per-expert budgets required to group (got %s)" % (
+                [s.splits for s in sites],)
+        from ..models.surgery import _group_experts
+        out["experts_grouped_ep"] = _group_experts(experts)
+        return out
     assert all(s.splits == sites[0].splits for s in sites), \
         "uniform per-expert budgets required to stack (got %s)" % (
             [s.splits for s in sites],)
-    out = {k: v for k, v in layer.items() if k != "experts"}
-    out["experts_stacked"] = stack_hetero_experts(layer["experts"])
+    out["experts_stacked"] = stack_hetero_experts(experts)
     return out
 
 
@@ -66,12 +85,12 @@ def quantize_model_ep(params: Params, cfg: ModelConfig,
 
 
 def param_specs_ep(params: Params) -> Params:
-    """PartitionSpec pytree: experts_stacked leaves shard dim 0 on
+    """PartitionSpec pytree: expert-stacked/grouped leaves shard dim 0 on
     "expert"; everything else replicated."""
     def layer_specs(p):
         return {
             k: (jax.tree.map(lambda _: P("expert"), v) if
-                k == "experts_stacked"
+                k in ("experts_stacked", "experts_grouped_ep")
                 else jax.tree.map(lambda _: P(), v))
             for k, v in p.items()
         }

@@ -121,14 +121,12 @@ def test_ep_at_scale_32_layer_program_and_hbm_budget(rng):
 
     # ---- (b) true-8x7B per-chip HBM accounting ----
     # validate the byte model against the actual packed layer first
-    ep_stack = qm["layers"][0]["experts_stacked"]
-
-    def codes_bytes(lin):
-        w = lin["w"] if isinstance(lin, dict) else lin.w
-        return w.codes.size * w.codes.dtype.itemsize
-
-    expert_bytes_small = sum(codes_bytes(ep_stack[n])
-                             for n in ("w1", "w2", "w3"))
+    # (r5: EP layers carry the GROUPED form — w1|w3 and w2 code arrays,
+    # sections padded; at these aligned shapes padding adds zero rows)
+    gre = qm["layers"][0]["experts_grouped_ep"]
+    expert_bytes_small = sum(
+        g.codes.size * g.codes.dtype.itemsize
+        for g in (gre["w13"], gre["w2"]))
     # ScaledW8: exactly 1 byte per weight element (+ scalar bases)
     assert expert_bytes_small == 8 * 3 * cfg.intermediate_size * \
         cfg.hidden_size
