@@ -109,6 +109,11 @@ def main(argv=None) -> None:
     # ("Used 44.37G of 15.75G"); pass --layers 32 explicitly to reproduce
     p.add_argument("--layers", type=int, default=8)
     p.add_argument("--experts", type=int, default=8)
+    p.add_argument("--capacity", type=float, default=None,
+                   help="moe_capacity_factor: fixed-capacity token "
+                        "dispatch instead of dense (each expert then "
+                        "sees <= ceil(B*top_k/E*factor) gathered rows "
+                        "through the grouped kernel)")
     p.add_argument("--no-share-layers", action="store_true")
     args = p.parse_args(argv)
 
@@ -120,7 +125,8 @@ def main(argv=None) -> None:
                           intermediate_size=1024, num_layers=2, num_heads=4,
                           num_kv_heads=2, head_dim=128, rope_theta=5e5,
                           rms_eps=1e-5, num_experts=4,
-                          num_experts_per_tok=2)
+                          num_experts_per_tok=2,
+                          moe_capacity_factor=args.capacity)
         p6 = p8 = 128
         args.batch, args.new_tokens = 2, 4
     else:
@@ -129,7 +135,8 @@ def main(argv=None) -> None:
                           num_layers=args.layers, num_heads=32,
                           num_kv_heads=8, head_dim=128, rope_theta=1e6,
                           rms_eps=1e-5, num_experts=args.experts,
-                          num_experts_per_tok=2)
+                          num_experts_per_tok=2,
+                          moe_capacity_factor=args.capacity)
         p6 = p8 = 256
 
     params = build_quantized_moe(cfg, p6, p8,

@@ -21,8 +21,9 @@ run e2e_r5      2400 python benchmarks/bench_8b_decode.py --share-layers --decod
 run e2e_nopair  2400 env MICROMIX_NO_PAIR=1 python benchmarks/bench_8b_decode.py --share-layers --decode-chunk 16 --new-tokens 48
 run e2e_nostack 2400 env MICROMIX_NO_STACK=1 python benchmarks/bench_8b_decode.py --share-layers --decode-chunk 16 --new-tokens 48
 
-# 2. MoE grouped-path decode at measured depth
-run moe 2400 python benchmarks/bench_moe_decode.py --share-layers
+# 2. MoE grouped-path decode at measured depth (dense + capacity dispatch)
+run moe     2400 python benchmarks/bench_moe_decode.py --share-layers
+run moe_cap 2400 python benchmarks/bench_moe_decode.py --share-layers --capacity 2.0
 
 # 3. realistic prompt lengths (TTFT + prefill tok/s)
 run prompt512  2400 python benchmarks/bench_8b_decode.py --share-layers --decode-chunk 16 --new-tokens 16 --prompt-len 512
