@@ -155,7 +155,11 @@ def cmd_serve(args) -> None:
     from .serve import Engine, Request
     from .serve.sampling import SamplingParams
 
-    if args.tp > 1 and (args.quantized_ckpt or args.weight_only):
+    if args.tp > 1 and args.ep > 1:
+        raise SystemExit("--tp and --ep are mutually exclusive (TP serves "
+                         "dense models; EP serves Mixtral experts)")
+    if (args.tp > 1 or args.ep > 1) and (args.quantized_ckpt
+                                         or args.weight_only):
         # validate BEFORE deserializing a multi-GB checkpoint: --tp
         # quantizes shard-locally from dense weights at startup (baked
         # single-chip layouts / weight-only pytrees cannot be resharded)
@@ -171,7 +175,7 @@ def cmd_serve(args) -> None:
             from .models.surgery import quantize_model_weight_only
             params = quantize_model_weight_only(params, cfg,
                                                 args.weight_only)
-        elif args.do_quant and args.tp <= 1:
+        elif args.do_quant and args.tp <= 1 and args.ep <= 1:
             params = _quantize(params, cfg, args)
     tok = _tokenizer(args)
 
@@ -219,6 +223,20 @@ def cmd_serve(args) -> None:
         mesh = make_mesh(data=1, model=args.tp,
                          devices=jax.devices()[:args.tp])
         eng = make_tp_engine(tparams, cfg, mesh, **eng_kw)
+    elif args.ep > 1:
+        # expert-parallel Mixtral serving: quantize + group the experts,
+        # shard them over the mesh's "expert" axis (parallel/ep_serve.py
+        # — the deployment path for true 8x7B, which cannot even compile
+        # single-chip; docs/perf_notes.md)
+        import jax
+        from .parallel import make_mesh
+        from .parallel.ep_serve import make_ep_engine, quantize_model_ep
+        if not cfg.is_moe:
+            raise SystemExit("--ep requires a Mixtral (MoE) checkpoint")
+        params, calibs = _load_and_smooth(params, cfg, args)
+        qm = quantize_model_ep(params, cfg, calibs)
+        mesh = make_mesh(expert=args.ep, devices=jax.devices()[:args.ep])
+        eng = make_ep_engine(qm, cfg, mesh, **eng_kw)
     else:
         eng = Engine(params, cfg, **eng_kw)
     if args.port:
@@ -375,6 +393,10 @@ def main(argv=None) -> None:
     s.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel ways (shards weights + KV heads "
                         "over the first N devices; implies --do-quant)")
+    s.add_argument("--ep", type=int, default=1,
+                   help="expert-parallel ways for Mixtral checkpoints "
+                        "(shards grouped experts over the first N "
+                        "devices; implies --do-quant)")
     s.add_argument("--prefix-cache", action="store_true",
                    help="share KV pages across requests with common "
                         "prompt prefixes (quantized-prefix semantics)")

@@ -240,3 +240,69 @@ def test_cli_serve_tensor_parallel(ckpt, tmp_path, capsys):
     out = capsys.readouterr().out
     stats = json.loads(out.strip().splitlines()[-1])
     assert stats["decode_tokens"] > 0
+
+
+@pytest.fixture(scope="module")
+def moe_ckpt(tmp_path_factory):
+    """Tiny on-disk Mixtral checkpoint (config + safetensors + tokenizer)."""
+    from micromix_tpu.models.loader import export_dense_params
+
+    d = tmp_path_factory.mktemp("mixtral-tiny")
+    cfg = ModelConfig(arch="mixtral", vocab_size=VOCAB, hidden_size=128,
+                      intermediate_size=256, num_layers=2, num_heads=2,
+                      num_kv_heads=2, head_dim=64, rope_theta=10000.0,
+                      rms_eps=1e-6, num_experts=4, num_experts_per_tok=2)
+    params = random_dense_params(cfg, seed=4)
+    from safetensors.numpy import save_file
+    tensors = {k: v.astype(np.float32)
+               for k, v in export_dense_params(params, cfg).items()}
+    save_file(tensors, str(d / "model.safetensors"))
+    with open(d / "config.json", "w") as f:
+        json.dump({
+            "model_type": "mixtral", "vocab_size": VOCAB,
+            "hidden_size": 128, "intermediate_size": 256,
+            "num_hidden_layers": 2, "num_attention_heads": 2,
+            "num_key_value_heads": 2, "rope_theta": 10000.0,
+            "rms_norm_eps": 1e-6, "num_local_experts": 4,
+            "num_experts_per_tok": 2,
+        }, f)
+    from tokenizers import Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Whitespace
+    words = {f"w{i}": i for i in range(VOCAB - 2)}
+    words["[UNK]"] = VOCAB - 2
+    words["</s>"] = VOCAB - 1
+    tok = Tokenizer(WordLevel(vocab=words, unk_token="[UNK]"))
+    tok.pre_tokenizer = Whitespace()
+    tok.save(str(d / "tokenizer.json"))
+    with open(d / "tokenizer_config.json", "w") as f:
+        json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+                   "eos_token": "</s>", "unk_token": "[UNK]",
+                   "model_max_length": 2048}, f)
+    return str(d)
+
+
+def test_cli_serve_expert_parallel(moe_ckpt, tmp_path, capsys):
+    """serve --ep 2: quantizes + groups experts at startup and serves
+    through the expert-sharded engine on the first two CPU devices."""
+    calib = str(tmp_path / "calib.npz")
+    main(["calibrate", "--model", moe_ckpt, "--samples", "2",
+          "--seqlen", "32", "--dataset", "synthetic", "--output", calib])
+    capsys.readouterr()
+
+    prompts = tmp_path / "prompts.txt"
+    prompts.write_text("w1 w2 w3\nw4 w5\n")
+    main(["serve", "--model", moe_ckpt, "--do-quant",
+          "--calibration", calib, "--ep", "2",
+          "--prompts", str(prompts), "--max-new-tokens", "4",
+          "--max-seqs", "2", "--page-size", "16", "--decode-chunk", "2"])
+    out = capsys.readouterr().out
+    stats = json.loads(out.strip().splitlines()[-1])
+    assert stats["requests"] == 2
+    assert stats["decode_tokens"] > 0
+
+    # guard rails: --ep on a dense model / --ep with --tp must refuse
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["serve", "--model", moe_ckpt, "--do-quant", "--ep", "2",
+              "--tp", "2", "--prompts", str(prompts)])
