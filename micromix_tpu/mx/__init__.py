@@ -1,7 +1,8 @@
 """MX (OCP Microscaling) core numerics: formats, quantize/dequantize, packing."""
 
 from .formats import BLOCK_SIZE, FP4, FP6, FP8, FORMATS, SEGMENT_ALIGN, FormatInfo
-from .mxtensor import MixedTensor, dequantize_mixed, mixed_matmul_xla, quantize_mixed
+from .mxtensor import (MixedTensor, SplitPlaneStack, dequantize_mixed,
+                       mixed_matmul_xla, quantize_mixed, stack_split_plane)
 from .numerics import (
     block_scale_exponent,
     ceil_log2,
