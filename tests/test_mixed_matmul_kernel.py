@@ -793,3 +793,38 @@ def test_decode_step_paired_matches_unfused(rng, monkeypatch):
     # layer-0 KV comes from the same stacked qkv call in both paths
     np.testing.assert_array_equal(np.asarray(got_caches[0].k_codes),
                                   np.asarray(ref_caches[0].k_codes))
+
+
+def test_decode_multi_scan_with_paired_path(rng, monkeypatch):
+    """The residual-pair decode path must trace/execute inside the
+    engine's lax.scan chunk program (decode_multi) — the form the
+    serving engine actually dispatches."""
+    import jax
+
+    import micromix_tpu.serve.runner as R
+    from micromix_tpu.models import (
+        ModelConfig, default_calibration, quantize_model,
+        random_dense_params)
+    from micromix_tpu.models.surgery import stack_layer_projections
+    from micromix_tpu.serve.kv_cache import make_cache
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=512,
+                      intermediate_size=1024, num_layers=2, num_heads=4,
+                      num_kv_heads=2, head_dim=128, rope_theta=1e4,
+                      rms_eps=1e-5)
+    qp = stack_layer_projections(
+        quantize_model(random_dense_params(cfg, seed=23), cfg,
+                       default_calibration(cfg, 128, 128)))
+    b = 2
+    caches = [make_cache(8, 128, cfg.num_kv_heads, cfg.head_dim, b + 1,
+                         4, bits=8) for _ in range(cfg.num_layers)]
+    toks = jnp.asarray(rng.integers(0, 64, (b,)).astype(np.int32))
+    seq_ids = jnp.arange(b, dtype=jnp.int32)
+    pos = jnp.zeros((b,), jnp.int32)
+    monkeypatch.setattr(R, "_can_pair", lambda *a: True)
+    out, caches = R.decode_multi(
+        qp, cfg, caches, toks, seq_ids, pos, jax.random.PRNGKey(0),
+        jnp.zeros((b,)), jnp.zeros((b,), jnp.int32), jnp.ones((b,)),
+        n_steps=2, sample_mode="greedy")
+    assert out.shape == (2, b)
+    assert np.all((np.asarray(out) >= 0) & (np.asarray(out) < 64))
