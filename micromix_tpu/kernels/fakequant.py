@@ -61,7 +61,12 @@ def site_producer_values(producer: str, x, aux, eps: float):
     in-register arrays -> f32 pre-quantize site values."""
     xf = x.astype(_F32)
     if producer == "rms":
-        rvar = jax.lax.rsqrt(
+        # 1/sqrt, NOT lax.rsqrt: sqrt and divide are correctly rounded,
+        # so the row moment's rvar is identical in EVERY compilation
+        # context — lax.rsqrt is an approximation whose error varies with
+        # surrounding fusion, which made the residual-pair kernel's site
+        # drift ~1e-3 from the stack kernel's on the same h (r5 debug)
+        rvar = 1.0 / jnp.sqrt(
             jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
         return xf * rvar * aux.astype(_F32)
     if producer == "silu":

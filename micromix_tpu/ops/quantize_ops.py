@@ -89,7 +89,10 @@ def rmsnorm_quantize_x(x: jnp.ndarray, gamma: jnp.ndarray, perm: jnp.ndarray,
     """
     x2d, _ = _flatten(x)
     xf = x2d.astype(jnp.float32)
-    rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    # correctly-rounded 1/sqrt: context-independent, matches the
+    # Pallas site kernels' rvar exactly (see fakequant.py note)
+    rvar = 1.0 / jnp.sqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                          + eps)
     g = jnp.take(gamma.astype(jnp.float32), perm, axis=0)
     y = jnp.take(xf, perm, axis=1) * rvar * g[None, :]
     return activation_quantize(y, k4, k6, k8, use_pallas=use_pallas,
@@ -170,7 +173,10 @@ def rmsnorm_fakequant_x(x: jnp.ndarray, gamma: jnp.ndarray,
             gamma=jnp.take(gamma.astype(jnp.float32), perm, axis=0),
             eps=eps)
     xf = x2d.astype(jnp.float32)
-    rvar = jax.lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    # correctly-rounded 1/sqrt: context-independent, matches the
+    # Pallas site kernels' rvar exactly (see fakequant.py note)
+    rvar = 1.0 / jnp.sqrt(jnp.mean(xf * xf, axis=-1, keepdims=True)
+                          + eps)
     g = jnp.take(gamma.astype(jnp.float32), perm, axis=0)
     y = jnp.take(xf, perm, axis=1) * rvar * g[None, :]
     return fakequant_device(y, k4, k6, k8)
