@@ -152,24 +152,44 @@ def main(argv=None) -> None:
         bucket = -(-plen // 128) * 128
         pages = -(-(plen + args.new_tokens + 1) // 128) + 1
         buckets = (16, 32, bucket)
-    eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
-                 max_pages_per_seq=pages, prefill_buckets=buckets,
-                 decode_chunk=args.decode_chunk)
+    import os
     rng = np.random.default_rng(0)
     reqs = [Request(req_id=i,
                     prompt=list(rng.integers(0, cfg.vocab_size, plen)),
                     max_new_tokens=args.new_tokens)
             for i in range(args.batch)]
+
     # warm/compile on throwaway requests shaped like the measured ones:
     # a full batch of same-bucket prompts compiles the batched multi-slot
     # prefill program too (r3's single-request warm left its ~100 s
     # compile inside the measured prefill phase, poisoning TTFT), plus a
-    # short odd prompt for the per-slot chunked path
-    eng.run([Request(req_id=-1, prompt=[1, 2, 3], max_new_tokens=2)])
-    eng.run([Request(req_id=-100 - i,
-                     prompt=list(rng.integers(0, cfg.vocab_size, plen)),
-                     max_new_tokens=2)
-             for i in range(args.batch)])
+    # short odd prompt for the per-slot chunked path.
+    # GRACEFUL DEGRADATION: if a new decode-path kernel tier fails to
+    # compile on-chip, fall back (pair -> stack -> per-consumer) so the
+    # driver's serving line survives, loudly tagged.
+    degraded = ""
+    for knob in (None, "MICROMIX_NO_PAIR", "MICROMIX_NO_STACK"):
+        if knob:
+            os.environ[knob] = "1"
+            degraded = f" DEGRADED:{knob}"
+        try:
+            eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
+                         max_pages_per_seq=pages, prefill_buckets=buckets,
+                         decode_chunk=args.decode_chunk)
+            eng.run([Request(req_id=-1, prompt=[1, 2, 3],
+                             max_new_tokens=2)])
+            eng.run([Request(req_id=-100 - i,
+                             prompt=list(rng.integers(0, cfg.vocab_size,
+                                                      plen)),
+                             max_new_tokens=2)
+                     for i in range(args.batch)])
+            break
+        except Exception as e:  # noqa: BLE001 — loud fallback, re-tried
+            print(f"bench: engine warmup failed (fallback tier "
+                  f"{knob or 'full'}): {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            if knob == "MICROMIX_NO_STACK":
+                raise
     eng.prefill_tokens = eng.decode_tokens = 0
     eng.ttft.clear()
 
@@ -203,6 +223,7 @@ def main(argv=None) -> None:
         tag += f" {args.layout}"
     if plen > 32:
         tag += f" prompt={plen}"
+    tag += degraded
     emit(f"8B-shape decode tokens/s/chip B={args.batch} "
          f"L={cfg.num_layers} H={cfg.hidden_size}{tag}",
          eng.decode_tokens / dt, "tokens/s",

@@ -141,16 +141,33 @@ def main(argv=None) -> None:
 
     params = build_quantized_moe(cfg, p6, p8,
                                  share_layers=not args.no_share_layers)
-    eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
-                 max_pages_per_seq=16, prefill_buckets=(16,),
-                 decode_chunk=args.decode_chunk)
+    import os
     rng = np.random.default_rng(0)
 
     # warm/compile, separately timed: the compile-scale question IS the
-    # benchmark for this shape
-    t0 = time.perf_counter()
-    eng.run([Request(req_id=-1, prompt=[1, 2, 3], max_new_tokens=2)])
-    compile_s = time.perf_counter() - t0
+    # benchmark for this shape.  Graceful degradation: if the grouped
+    # expert kernel fails on-chip, MICROMIX_NO_STACK falls back to the
+    # per-expert loop so the metric line survives, loudly tagged.
+    degraded = ""
+    for knob in (None, "MICROMIX_NO_STACK"):
+        if knob:
+            os.environ[knob] = "1"
+            degraded = f" DEGRADED:{knob}"
+        try:
+            eng = Engine(params, cfg, max_seqs=args.batch, page_size=128,
+                         max_pages_per_seq=16, prefill_buckets=(16,),
+                         decode_chunk=args.decode_chunk)
+            t0 = time.perf_counter()
+            eng.run([Request(req_id=-1, prompt=[1, 2, 3],
+                             max_new_tokens=2)])
+            compile_s = time.perf_counter() - t0
+            break
+        except Exception as e:  # noqa: BLE001 — loud fallback, re-tried
+            print(f"bench: MoE engine warmup failed (tier "
+                  f"{knob or 'full'}): {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
+            if knob:
+                raise
     print(f"warm/compile: {compile_s:.1f}s", file=sys.stderr)
     eng.prefill_tokens = eng.decode_tokens = 0
     eng.ttft.clear()
@@ -176,7 +193,8 @@ def main(argv=None) -> None:
         pass
     dt = time.perf_counter() - t0
     emit(f"Mixtral-shape MoE decode tokens/s/chip B={args.batch} "
-         f"L={cfg.num_layers} E={cfg.num_experts} H={cfg.hidden_size}",
+         f"L={cfg.num_layers} E={cfg.num_experts} H={cfg.hidden_size}"
+         f"{degraded}",
          eng.decode_tokens / dt, "tokens/s",
          decode_tokens=eng.decode_tokens, decode_s=round(dt, 3),
          compile_s=round(compile_s, 1), prefill_s=round(prefill_s, 3),
