@@ -108,14 +108,14 @@ def _validate_r5_kernels(rng) -> bool:
 
     ok = True
 
-    def check(tag, got, want, exact=True):
+    def check(tag, got, want, exact=True, atol=1.0):
         nonlocal ok
         g = np.asarray(got, np.float32)
         r = np.asarray(want, np.float32)
         if exact:
             good = np.array_equal(g, r)
         else:
-            good = np.allclose(g, r, rtol=0.05, atol=1.0) and \
+            good = np.allclose(g, r, rtol=0.05, atol=atol) and \
                 np.median(np.abs(g - r)) <= 0.25
         ok = ok and good
         print(f"{tag}: {'EXACT' if exact else 'tol'}-match "
@@ -159,20 +159,43 @@ def _validate_r5_kernels(rng) -> bool:
                            mixed_matmul_w8_site(xe, w))(xg[e])
             check(f"grouped[{si},{e}]", got[si][e], want)
 
-    # 4. residual pair: h_mid exact, outputs tolerance (rms caveat)
-    wa = pack_scaled_w8(mk_w(k))
+    # 4. residual pair: h_mid exact, outputs tolerance (rms caveat).
+    # The pair kernel's phase-A scratch requires K % 512 == 0 (true of
+    # every real model config; the engine asserts it at surgery time), so
+    # this check runs on its own 512-aligned operand set.
+    k4p, k6p, k8p = 1536, 256, 256
+    kp = k4p + k6p + k8p
+    xp = jnp.asarray(np.random.default_rng(17).normal(
+        0, 1, (M, kp)).astype(np.float32)).astype(jnp.bfloat16)
+    gammap = jnp.asarray(np.random.default_rng(18).normal(
+        1, 0.1, (kp,)).astype(np.float32))
+
+    def mk_wp(n):
+        w = np.random.default_rng(next(seed)).normal(
+            0, 0.3, (n, kp)).astype(np.float32)
+        return quantize_mixed(jnp.asarray(w), k4p, k6p, k8p,
+                              weight_fp4_only=True, pack_fp4=True)
+
+    stp = stack_scaled_w8([pack_scaled_w8(mk_wp(n))
+                           for n in (1024, 256, 256)])
+    wa = pack_scaled_w8(mk_wp(kp))
     h_in = jnp.asarray(np.random.default_rng(9).normal(
-        0, 1, (M, k)).astype(np.float32)).astype(jnp.bfloat16)
-    qxa = fakequant_site_pallas(x, k4, k6, k8)
+        0, 1, (M, kp)).astype(np.float32)).astype(jnp.bfloat16)
+    qxa = fakequant_site_pallas(xp, k4p, k6p, k8p)
     a16 = jax.jit(lambda q: mixed_matmul_w8(q, wa))(qxa)
     h_mid = h_in + a16
     want = jax.jit(lambda h: mixed_matmul_w8_stack(
-        h, st, producer="rms", gamma=gamma))(h_mid)
+        h, stp, producer="rms", gamma=gammap))(h_mid)
     hm, outs = jax.jit(lambda x, h: mixed_matmul_w8_pair(
-        x, h, wa, st, gamma_b=gamma))(x, h_in)
+        x, h, wa, stp, gamma_b=gammap))(xp, h_in)
     check("pair h_mid", hm, h_mid)
+    # the rms tie-flip noise band grows with the contraction width (the
+    # k=512 parity test's comment: a flipped tie smears O(|w|*step) into
+    # every output element) — at kp=2048 the measured CPU-interpret band
+    # is max |d| 1.5 with median 0.19, so the absolute term scales 2x
+    # while the median bound stays
     for i, (g, r) in enumerate(zip(outs, want)):
-        check(f"pair[{i}]", g, r, exact=False)
+        check(f"pair[{i}]", g, r, exact=False, atol=2.0)
     return ok
 
 
